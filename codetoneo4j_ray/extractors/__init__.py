@@ -1,0 +1,83 @@
+"""Extractor registry + per-row dispatch (stage-1 inner loop).
+
+Mirrors the reference's handler dispatch
+(``Solution/SolutionProcessor.cs:333-379``: exact-basename first, then
+extension) and per-file processing
+(``SolutionProcessor.ProcessFile:232-299``: relative path → inferred
+key/namespace → sha256 → handler → buffers).
+"""
+
+from __future__ import annotations
+
+from codetoneo4j_ray.config import HandlerConfig, is_excluded, resolve_handler
+from codetoneo4j_ray.extractors.base import FileContext
+from codetoneo4j_ray.extractors.csharp.extractor import extract_csharp
+from codetoneo4j_ray.extractors.csharp.types import RepoTypeIndex
+from codetoneo4j_ray.extractors.textfile import (
+    extract_csproj,
+    extract_css,
+    extract_html,
+    extract_json,
+    extract_package_json,
+    extract_pubspec_yaml,
+    extract_razor,
+    extract_xaml,
+    extract_xml,
+)
+from codetoneo4j_ray.extractors.typescript import extract_typescript
+from codetoneo4j_ray.functions.text import infer_file_metadata
+
+_EMPTY_INDEX = RepoTypeIndex()
+
+
+def extract_file(
+    repo: str,
+    path: str,
+    content: str,
+    min_accessibility: str,
+    repo_index: RepoTypeIndex | None = None,
+) -> FileContext | None:
+    """Run the matching handler for one corpus row; None when no handler
+    or the path is in an excluded directory."""
+    if is_excluded(path):
+        return None
+    handler = resolve_handler(path)
+    if handler is None:
+        return None
+    file_key, namespace = infer_file_metadata(path)
+    ctx = FileContext(
+        repo=repo,
+        repo_key=repo.lower(),
+        path=path,
+        file_key=file_key,
+        namespace=namespace,
+        content=content,
+        language=handler.language,
+        technology=handler.technology,
+    )
+    fn = _DISPATCH[handler.name]
+    if handler.name == "csharp":
+        fn(ctx, min_accessibility, repo_index or _EMPTY_INDEX)
+    elif handler.name in ("typescript", "javascript"):
+        fn(ctx, min_accessibility, handler.kind_prefix)
+    else:
+        fn(ctx, min_accessibility)
+    return ctx
+
+
+_DISPATCH = {
+    "csharp": extract_csharp,
+    "razor": extract_razor,
+    "typescript": extract_typescript,
+    "javascript": extract_typescript,
+    "css": extract_css,
+    "html": extract_html,
+    "xaml": extract_xaml,
+    "xml": extract_xml,
+    "json": extract_json,
+    "csproj": extract_csproj,
+    "package_json": extract_package_json,
+    "pubspec_yaml": extract_pubspec_yaml,
+}
+
+__all__ = ["extract_file", "FileContext", "HandlerConfig"]

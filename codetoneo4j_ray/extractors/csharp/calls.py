@@ -1,0 +1,252 @@
+"""Call-site scanning over captured method-body token ranges.
+
+Approximates MemberDependencyExtractor.ExtractMethodExecutes
+(``Technologies/DotNet/CSharp/MemberDependencyExtractor.cs:77-181``):
+invocations and object creations, with per-method callee dedup
+(``:90,218-230``). Operator / conversion / method-group / implicit-
+conversion detection requires full semantic typing and is not ported
+(recall-only delta for the resolved-edge set, documented in
+``__init__.py``). A flat token scan naturally attributes lambda-body
+calls to the containing method, like Roslyn's DescendantNodes walk.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from codetoneo4j_ray.extractors.csharp.lexer import Token
+from codetoneo4j_ray.extractors.csharp.parser import _Parser, parse_type_ref
+from codetoneo4j_ray.extractors.csharp.types import TypeRef
+
+_SKIP_PAREN_KEYWORDS = frozenset({"nameof", "typeof", "sizeof", "default"})
+_NOT_CALLS = frozenset(
+    "if while for foreach switch catch using lock return throw when is as in "
+    "do else yield await case fixed stackalloc checked unchecked new var "
+    "true false null this base out ref get set init add remove value where "
+    "select from let join orderby group by on equals into ascending descending".split()
+)
+_STMT_BOUNDARY = frozenset({";", "{", "}", "(", ","})
+
+
+@dataclass
+class CallSite:
+    kind: str                    # 'call' | 'call_base' | 'ctor'
+    name: str                    # method name, or '' for ctor
+    receiver: TypeRef | None     # receiver/constructed type (None = this-call)
+    receiver_chain: tuple[str, ...]  # raw chain when receiver type unknown
+    argc: int
+    line: int
+
+
+def scan_body(
+    code: list[Token],
+    span: tuple[int, int],
+    param_types: dict[str, TypeRef],
+    member_types: dict[str, TypeRef],
+) -> list[CallSite]:
+    """Scan one body token range for call sites.
+
+    param_types: method parameter name → type; member_types: containing
+    type's field/property name → type (same-file knowledge — the
+    cross-file partial-class slice is a documented recall delta).
+    """
+    start, end = span
+    locals_map: dict[str, TypeRef] = dict(param_types)
+    sites: list[CallSite] = []
+    sub = _Parser(code, [[] for _ in code])
+    i = start
+    if i < end and code[i].value == "{":
+        i += 1
+        end -= 1  # exclude closing brace
+    while i < end:
+        t = code[i]
+        v = t.value
+
+        # skip nameof(...) / typeof(...) / sizeof(...) / default(...)
+        if t.kind == "id" and v in _SKIP_PAREN_KEYWORDS and _peek(code, i + 1) == "(":
+            i = _skip_balanced_from(code, i + 1, end)
+            continue
+
+        # foreach (Type x in ...)
+        if t.kind == "id" and v == "foreach" and _peek(code, i + 1) == "(":
+            sub.i = i + 2
+            tref = parse_type_ref(sub)
+            if tref is not None and sub.tok() and sub.tok().kind == "id":
+                name = sub.advance().value
+                if sub.val() == "in" and not (len(tref.parts) == 1 and tref.parts[0] == "var"):
+                    locals_map[name] = tref
+            i += 1
+            continue
+
+        # new Type(...) / new Type { ... }
+        if t.kind == "id" and v == "new":
+            sub.i = i + 1
+            tref = parse_type_ref(sub)
+            if tref is None or tref.form == "array":
+                i += 1
+                continue
+            j = sub.i
+            nxt = _peek(code, j)
+            if nxt == "(":
+                argc = _count_args(code, j, end)
+                sites.append(CallSite("ctor", "", tref, (), argc, t.line))
+                # var x = new T(...) pattern → register local
+                _maybe_register_new_local(code, i, tref, locals_map)
+                i = _skip_balanced_from(code, j, end)
+                continue
+            if nxt == "{":
+                sites.append(CallSite("ctor", "", tref, (), 0, t.line))
+                _maybe_register_new_local(code, i, tref, locals_map)
+                i = j
+                continue
+            if nxt == "[":
+                i = j  # array creation with sizes
+                continue
+            i = j if j > i + 1 else i + 1
+            continue
+
+        # local declaration:  Type name = / Type name ;
+        if (
+            t.kind == "id"
+            and v not in _NOT_CALLS
+            and (i == start + 1 or code[i - 1].value in _STMT_BOUNDARY)
+        ):
+            sub.i = i
+            tref = parse_type_ref(sub)
+            if (
+                tref is not None
+                and sub.i > i
+                and sub.tok() is not None
+                and sub.tok().kind == "id"
+                and sub.val(1) in ("=", ";")
+                and sub.val() not in _NOT_CALLS
+            ):
+                name = sub.tok().value
+                if not (tref.form == "named" and tref.parts == ["var"] and not tref.args):
+                    locals_map[name] = tref
+                    i = sub.i  # continue scanning from the declared name
+                    continue
+
+        # invocation: [chain .] Name [<targs>] ( args )
+        if t.kind == "id" and v not in _NOT_CALLS:
+            j = i + 1
+            # optional generic args
+            if _peek(code, j) == "<":
+                sub.i = j
+                if sub.val_is_generic_ok():
+                    gspan_end = _matching_angle(code, j, end)
+                    if gspan_end is not None and _peek(code, gspan_end + 1) == "(":
+                        j = gspan_end + 1
+            if _peek(code, j) == "(":
+                site = _build_call(code, i, j, end, locals_map, member_types, start)
+                if site is not None:
+                    sites.append(site)
+                i += 1
+                continue
+        i += 1
+    return sites
+
+
+def _peek(code: list[Token], i: int) -> str:
+    return code[i].value if i < len(code) else ""
+
+
+def _skip_balanced_from(code: list[Token], i: int, end: int) -> int:
+    depth = 0
+    while i < end:
+        v = code[i].value
+        if v in "([{":
+            depth += 1
+        elif v in ")]}":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+        i += 1
+    return end
+
+
+def _matching_angle(code: list[Token], i: int, end: int) -> int | None:
+    depth = 0
+    while i < end:
+        v = code[i].value
+        if v == "<":
+            depth += 1
+        elif v == ">":
+            depth -= 1
+            if depth == 0:
+                return i
+        elif v in (";", "{"):
+            return None
+        i += 1
+    return None
+
+
+def _count_args(code: list[Token], i: int, end: int) -> int:
+    """At '(' — count top-level commas; 0 when immediately ')'"""
+    depth = 0
+    commas = 0
+    has_any = False
+    while i < end:
+        v = code[i].value
+        if v in "([{":
+            depth += 1
+        elif v in ")]}":
+            depth -= 1
+            if depth == 0:
+                break
+        elif depth == 1:
+            if v == ",":
+                commas += 1
+            else:
+                has_any = True
+        i += 1
+    return commas + 1 if has_any or commas else 0
+
+
+def _maybe_register_new_local(
+    code: list[Token], new_idx: int, tref: TypeRef, locals_map: dict[str, TypeRef]
+) -> None:
+    """Handle `var x = new T(...)`: look back for `var x =` before `new`."""
+    if new_idx >= 3 and code[new_idx - 1].value == "=":
+        name_t = code[new_idx - 2]
+        var_t = code[new_idx - 3]
+        if name_t.kind == "id" and var_t.kind == "id" and var_t.value == "var":
+            locals_map[name_t.value] = tref
+
+
+def _build_call(
+    code: list[Token],
+    name_idx: int,
+    paren_idx: int,
+    end: int,
+    locals_map: dict[str, TypeRef],
+    member_types: dict[str, TypeRef],
+    body_start: int,
+) -> CallSite | None:
+    name_t = code[name_idx]
+    argc = _count_args(code, paren_idx, end)
+    # walk the receiver chain backwards:  a.b.c.Name(
+    chain: list[str] = []
+    k = name_idx - 1
+    while k - 1 >= body_start and code[k].value in (".", "?."):
+        prev = code[k - 1]
+        if prev.kind == "id":
+            chain.append(prev.value)
+            k -= 2
+        elif prev.value in (")", "]") or prev.kind in ("str", "char", "num"):
+            return None  # computed receiver (chained call / literal): not resolvable
+        else:
+            break
+    chain.reverse()
+    line = name_t.line
+    name = name_t.value.lstrip("@")
+    if not chain or chain == ["this"]:
+        return CallSite("call", name, None, (), argc, line)
+    if chain == ["base"]:
+        return CallSite("call_base", name, None, (), argc, line)
+    if len(chain) == 1:
+        tref = locals_map.get(chain[0]) or member_types.get(chain[0])
+        if tref is not None:
+            return CallSite("call", name, tref, (), argc, line)
+    # static call via (possibly qualified) type name
+    return CallSite("call", name, None, tuple(chain), argc, line)
