@@ -30,7 +30,9 @@ from codetoneo4j_ray.extractors.csharp.types import (
 )
 from codetoneo4j_ray.schema import CONTAINS, DEPENDS_ON, INVOKES
 
-BASE_PRED = "__BASE__"  # internal mention rows carrying resolved base-type info
+BASE_PRED = "__BASE__"      # internal rows: (type display) → (resolved base display)
+MEMBER_PRED = "__MEMBER__"  # internal rows: (type display, name, argc) → member key
+# Both are consumed by stage-2 linking and removed before materialize.
 
 
 # ---------------------------------------------------------------------------
@@ -343,6 +345,12 @@ class _Emitter:
             namespace=self.file_namespace,
         )
         self.ctx.add_mention(type_key, CONTAINS, key)
+        if m.kind in ("method", "ctor", "operator", "conversion", "dtor"):
+            self.ctx.add_deferred_mention(
+                type_display, MEMBER_PRED, "member", m.name, "",
+                len(m.params or []),
+            )
+            self.ctx.mentions[-1]["obj"] = key
 
         # DEPENDS_ON from member types (MemberDependencyExtractor.cs:233-303)
         if m.kind in ("method", "ctor", "operator", "conversion", "dtor"):

@@ -1,0 +1,119 @@
+"""Flagship pipeline: Parquet corpus → canonical KG triple tables.
+
+    read_parquet (repo,path,commit,lang,content)
+      → [1a] type-index skim (C# rows only)            map_batches
+      → [1b] extraction                                 actor-pool map_batches
+            ⇒ records/ parquet checkpoint (resumable)
+      → [2a] deferred-INVOKES resolution                broadcast member index
+      → [2b] endpoint semi-join                         broadcast key set
+      → [3]  node / edge / file dedup                   combine + groupby
+      → [4]  structural edges, sort, write_parquet      nodes/ edges/ files/
+
+Every shuffle is metadata-only (keys + record rows); file *content*
+never moves past stage 1b. The reference's pipeline equivalence is the
+full-index run (``SolutionProcessor.ProcessSolution``, SURVEY §3.1).
+"""
+
+from __future__ import annotations
+
+import ray.data
+
+from codetoneo4j_ray.extractors.accessibility import DEFAULT_MIN_ACCESSIBILITY
+from codetoneo4j_ray.stages.canonicalize import dedup_files, dedup_nodes, distinct_triples
+from codetoneo4j_ray.stages.extract import build_type_index, extract_records
+from codetoneo4j_ray.stages.link import (
+    build_member_indices,
+    resolve_edges_broadcast,
+    resolve_mentions,
+    strip_internal,
+)
+from codetoneo4j_ray.stages.materialize import (
+    finalize_files,
+    finalize_nodes,
+    structural_edges,
+)
+from codetoneo4j_ray.state.manifest import (
+    corpus_fingerprint,
+    stage_is_complete,
+    write_manifest,
+)
+
+CORPUS_COLUMNS = ["repo", "path", "commit", "lang", "content"]
+
+
+def read_corpus(input_path: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(input_path, columns=CORPUS_COLUMNS)
+
+
+def extract_to_records(
+    corpus: ray.data.Dataset,
+    min_accessibility: str = DEFAULT_MIN_ACCESSIBILITY,
+    concurrency=None,
+) -> ray.data.Dataset:
+    """Stages 1a+1b, returning the unified record stream (lazy)."""
+    indices = build_type_index(corpus)
+    return extract_records(
+        corpus, indices, min_accessibility, concurrency=concurrency
+    )
+
+
+def graph_from_records(records: ray.data.Dataset) -> dict[str, ray.data.Dataset]:
+    """Stages 2–4 from a (re-readable) record stream.
+
+    ``records`` must be backed by storage or materialized — it is
+    consumed several times (member index, symbols, mentions, files).
+    Returns lazy datasets: nodes, edges, files, mentions_raw.
+    """
+    member_indices = build_member_indices(records)
+    resolved = resolve_mentions(records, member_indices)
+
+    symbols = records.filter(expr="rec_type == 'symbol'")
+    files = records.filter(expr="rec_type == 'file'")
+    mentions = strip_internal(resolved.filter(expr="rec_type == 'mention'"))
+
+    # declared-symbol key set (metadata): broadcast for the endpoint join
+    key_rows = symbols.select_columns(["key"]).take_all()
+    symbol_keys = {r["key"] for r in key_rows}
+
+    sym_edges = resolve_edges_broadcast(
+        mentions.select_columns(["subj", "pred", "obj"]), symbol_keys
+    )
+    edges = distinct_triples(sym_edges.union(structural_edges(records)))
+    nodes = finalize_nodes(dedup_nodes(symbols))
+    files_out = finalize_files(dedup_files(files))
+    return {
+        "nodes": nodes.sort("key"),
+        "edges": edges.sort(["subj", "pred", "obj"]),
+        "files": files_out.sort("key"),
+        "mentions_raw": mentions,
+    }
+
+
+def build_graph(
+    input_path: str,
+    out_dir: str,
+    min_accessibility: str = DEFAULT_MIN_ACCESSIBILITY,
+    resume: bool = True,
+    concurrency=None,
+) -> dict:
+    """Full run with a records checkpoint; returns metrics."""
+    config = {"min_accessibility": min_accessibility, "v": 1}
+    fp = corpus_fingerprint(input_path, config)
+    records_dir = f"{out_dir}/records"
+
+    if not (resume and stage_is_complete(out_dir, "records", fp)):
+        corpus = read_corpus(input_path)
+        records = extract_to_records(corpus, min_accessibility, concurrency)
+        records.write_parquet(records_dir)
+        n = ray.data.read_parquet(records_dir).count()
+        write_manifest(out_dir, "records", fp, {"rows": n})
+
+    records = ray.data.read_parquet(records_dir)
+    outputs = graph_from_records(records)
+    metrics: dict = {}
+    for name in ("nodes", "edges", "files"):
+        path = f"{out_dir}/{name}"
+        outputs[name].write_parquet(path)
+        metrics[name] = ray.data.read_parquet(path).count()
+    write_manifest(out_dir, "graph", fp, metrics)
+    return metrics

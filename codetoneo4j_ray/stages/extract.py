@@ -1,0 +1,234 @@
+"""Stage 1 — extraction over the corpus.
+
+Two passes, neither of which shuffles file content:
+
+  pass A  ``build_type_index``  — a cheap declaration skim over C# rows
+          producing the repo-wide type index (types, namespaces, global
+          usings). The index is metadata (≪ content) and is broadcast to
+          pass B via ``ray.put`` — the reference gets the same knowledge
+          from the Roslyn Compilation (``SolutionProcessor.cs:256-279``);
+          at multi-node scale the index would instead be hash-partitioned
+          by repo and co-partitioned with a repo-bucketed corpus read
+          (same key reused by stage 2's linking).
+
+  pass B  ``extract_records``   — an actor-pool ``map_batches`` running
+          every handler; emits one unified Arrow record stream tagged
+          ``rec_type ∈ {symbol, mention, file, url}`` so a single parse
+          produces all outputs (split later by cheap filters).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray
+import ray.data
+
+from codetoneo4j_ray.config import is_excluded, resolve_handler
+from codetoneo4j_ray.extractors import extract_file
+from codetoneo4j_ray.extractors.accessibility import DEFAULT_MIN_ACCESSIBILITY
+from codetoneo4j_ray.extractors.csharp.extractor import build_repo_index, skim_file
+from codetoneo4j_ray.extractors.csharp.types import RepoTypeIndex
+from codetoneo4j_ray.functions.text import sha256_hex
+
+# Unified stage-1 record schema (symbol ∪ mention ∪ file ∪ url columns).
+RECORD_SCHEMA = pa.schema(
+    [
+        ("rec_type", pa.string()),
+        # symbol columns
+        ("key", pa.string()),
+        ("name", pa.string()),
+        ("kind", pa.string()),
+        ("class", pa.string()),
+        ("fqn", pa.string()),
+        ("accessibility", pa.string()),
+        ("file_key", pa.string()),
+        ("path", pa.string()),
+        ("start_line", pa.int32()),
+        ("end_line", pa.int32()),
+        ("documentation", pa.string()),
+        ("comments", pa.string()),
+        ("namespace", pa.string()),
+        ("version", pa.string()),
+        ("language", pa.string()),
+        ("technology", pa.string()),
+        ("repo", pa.string()),
+        # mention columns
+        ("subj", pa.string()),
+        ("pred", pa.string()),
+        ("obj", pa.string()),
+        ("ctx_kind", pa.string()),
+        ("ctx_name", pa.string()),
+        ("ctx_receiver", pa.string()),
+        ("ctx_argc", pa.int32()),
+        ("ctx_namespace", pa.string()),
+        ("ctx_usings", pa.string()),
+        # file columns
+        ("sha256", pa.string()),
+        ("file_name", pa.string()),
+        ("commit", pa.string()),
+        # url columns
+        ("dep_key", pa.string()),
+        ("url_key", pa.string()),
+    ]
+)
+
+_TYPE_INDEX_SCHEMA = pa.schema(
+    [
+        ("rec_type", pa.string()),       # "type" | "global_using"
+        ("repo", pa.string()),
+        ("full_name", pa.string()),
+        ("arity", pa.int32()),
+        ("is_value", pa.bool_()),
+        ("kind", pa.string()),
+        ("bases", pa.string()),
+        ("type_params", pa.string()),
+        ("file_key", pa.string()),
+        ("text", pa.string()),
+        ("is_static", pa.bool_()),
+        ("alias", pa.string()),
+    ]
+)
+
+
+def _is_csharp_row(path: str) -> bool:
+    return path.endswith(".cs") and not is_excluded(path)
+
+
+def skim_batch(batch: pa.Table) -> pa.Table:
+    """Pass-A batch fn: C# declaration skim → type-index rows."""
+    rows: list[dict] = []
+    repos = batch["repo"].to_pylist()
+    paths = batch["path"].to_pylist()
+    contents = batch["content"].to_pylist()
+    for repo, path, content in zip(repos, paths, contents):
+        if not _is_csharp_row(path):
+            continue
+        type_rows, using_rows = skim_file(repo, path, content)
+        for r in type_rows:
+            r["rec_type"] = "type"
+            rows.append(r)
+        for r in using_rows:
+            r["rec_type"] = "global_using"
+            rows.append(r)
+    cols = {}
+    for fld in _TYPE_INDEX_SCHEMA:
+        cols[fld.name] = pa.array(
+            [r.get(fld.name) for r in rows], type=fld.type
+        )
+    return pa.table(cols, schema=_TYPE_INDEX_SCHEMA)
+
+
+def build_type_index(corpus: ray.data.Dataset) -> dict[str, RepoTypeIndex]:
+    """Run pass A and assemble per-repo indices on the driver.
+
+    The result is metadata-sized (one row per declared type / global
+    using); ``take_all`` here is bounded and intentional. At 10^12-file
+    scale this would stay a Dataset hash-partitioned by repo.
+    """
+    idx_ds = corpus.map_batches(skim_batch, batch_format="pyarrow")
+    rows = idx_ds.take_all()
+    by_repo_types: dict[str, list[dict]] = {}
+    by_repo_usings: dict[str, list[dict]] = {}
+    for r in rows:
+        if r["rec_type"] == "type":
+            by_repo_types.setdefault(r["repo"], []).append(r)
+        else:
+            by_repo_usings.setdefault(r["repo"], []).append(r)
+    out: dict[str, RepoTypeIndex] = {}
+    for repo in set(by_repo_types) | set(by_repo_usings):
+        out[repo] = build_repo_index(
+            by_repo_types.get(repo, []), by_repo_usings.get(repo, [])
+        )
+    return out
+
+
+class ExtractRecords:
+    """Pass-B actor: warm handler state + broadcast type index.
+
+    The reference holds compilations/parsers warm per worker the same way
+    (``SolutionProcessor.cs:256-279``, TS bridge cache); here __init__
+    runs once per actor and ``ray.get`` of the index ref hits the local
+    object store (zero-copy for the plasma-backed buffers).
+    """
+
+    def __init__(self, index_ref=None, min_accessibility: str = DEFAULT_MIN_ACCESSIBILITY):
+        self.indices: dict[str, RepoTypeIndex] = (
+            ray.get(index_ref) if index_ref is not None else {}
+        )
+        self.min_accessibility = min_accessibility
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows: list[dict] = []
+        repos = batch["repo"].to_pylist()
+        paths = batch["path"].to_pylist()
+        commits = batch["commit"].to_pylist()
+        contents = batch["content"].to_pylist()
+        for repo, path, commit, content in zip(repos, paths, commits, contents):
+            ctx = extract_file(
+                repo, path, content, self.min_accessibility,
+                self.indices.get(repo),
+            )
+            if ctx is None:
+                continue
+            base = {"repo": repo, "path": path}
+            for s in ctx.symbols:
+                s["rec_type"] = "symbol"
+                rows.append(s)
+            for m in ctx.mentions:
+                m["rec_type"] = "mention"
+                m["path"] = path
+                rows.append(m)
+            for u in ctx.urls:
+                u["rec_type"] = "url"
+                rows.append(u)
+            ns = ctx.file_namespace_override
+            if ns is None and ctx.namespace:
+                ns = ctx.namespace
+            rows.append(
+                {
+                    "rec_type": "file",
+                    "key": ctx.file_key,
+                    "path": path,
+                    "file_name": path.rsplit("/", 1)[-1],
+                    "namespace": ns,
+                    "sha256": sha256_hex(content),
+                    "language": ctx.language,
+                    "technology": ctx.technology,
+                    "repo": repo,
+                    "commit": commit,
+                    **{},
+                }
+            )
+            del base
+        cols = {}
+        for fld in RECORD_SCHEMA:
+            cols[fld.name] = pa.array(
+                [r.get(fld.name) for r in rows], type=fld.type
+            )
+        return pa.table(cols, schema=RECORD_SCHEMA)
+
+
+def extract_records(
+    corpus: ray.data.Dataset,
+    indices: dict[str, RepoTypeIndex] | None = None,
+    min_accessibility: str = DEFAULT_MIN_ACCESSIBILITY,
+    concurrency=None,
+    batch_size: int = 64,
+) -> ray.data.Dataset:
+    """corpus → unified record stream (actor pool, Arrow in/out)."""
+    index_ref = ray.put(indices) if indices is not None else None
+    kwargs = {"concurrency": concurrency if concurrency is not None else (1, 8)}
+    return corpus.map_batches(
+        ExtractRecords,
+        fn_constructor_kwargs={
+            "index_ref": index_ref,
+            "min_accessibility": min_accessibility,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        **kwargs,
+    )
+
+
+def has_handler(path: str) -> bool:
+    return not is_excluded(path) and resolve_handler(path) is not None
