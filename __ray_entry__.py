@@ -1,16 +1,13 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract: entry() smoke, queries() ↔ oracle_sql() correctness.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver before import — nothing here calls
+ray.init()/ray.shutdown(). KG queries run over a deterministic synthetic
+corpus of (repo, path, commit, lang, content) rows (BASELINE.json
+input_hint; the driver's testdata carries no such table); stage-1
+records are persisted to parquet so the DuckDB oracles check the
+distributed stages (linking join, dedup, structural edges, sort) against
+the same inputs — see codetoneo4j_ray/pipelines/kg_queries.py. Data ops
+run over the driver's registered views directly.
 """
 
 from __future__ import annotations
@@ -18,27 +15,148 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF001 = "/root/testdata/sf0.001"
+SF01 = "/root/testdata/sf0.01"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship KG-construction pipeline at sf0.001: corpus → node table."""
+    from codetoneo4j_ray.pipelines.kg_queries import q_kg_nodes
+
+    return q_kg_nodes(SF001)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from codetoneo4j_ray.pipelines import data_ops, multimodal
+    from codetoneo4j_ray.pipelines.kg_queries import (
+        q_kg_edges,
+        q_kg_files,
+        q_kg_mentions_raw,
+        q_kg_nodes,
+        q_kg_symbol_kinds,
+    )
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # knowledge-graph construction (SURVEY §2 / §7)
+        "kg_nodes": q_kg_nodes,
+        "kg_edges": q_kg_edges,
+        "kg_files": q_kg_files,
+        "kg_symbol_kinds": q_kg_symbol_kinds,
+        "kg_mentions_raw": q_kg_mentions_raw,
+        # training-data ops: dedup family
+        "doc_dedup_exact": data_ops.doc_dedup_exact,
+        "doc_dedup_minhash": data_ops.doc_dedup_minhash,
+        "doc_simhash": data_ops.doc_simhash,
+        "doc_ngram_jaccard": data_ops.doc_ngram_jaccard,
+        "embedding_near_dup": data_ops.embedding_near_dup,
+        # similarity search
+        "ann_topk": data_ops.ann_topk,
+        "ann_ivf": data_ops.ann_ivf,
+        # text analysis
+        "text_stats": data_ops.text_stats,
+        "lang_id": data_ops.lang_id,
+        "doc_fingerprint": data_ops.doc_fingerprint,
+        # streaming-shaped + relational
+        "events_tumbling": data_ops.events_tumbling,
+        "revenue_by_nation": data_ops.revenue_by_nation,
+        "pricing_summary": data_ops.pricing_summary,
+        # multimodal plumbing (stubbed decode)
+        "media_decode_meta": multimodal.media_decode_meta,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    # Side effect: make sure the sf0.01 KG cache parquet exists before the
+    # driver executes the SQL (the strings below read those files).
+    from codetoneo4j_ray.pipelines.kg_queries import ensure_kg, oracle_kg
+
+    ensure_kg(SF01)
+    sql = dict(oracle_kg(SF01))
+    sql.pop("kg_mentions_raw", None)
+
+    tok = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+    sql.update(
+        {
+            "doc_dedup_exact": """
+                SELECT min(doc_id) AS doc_id, count(*) AS n_dups
+                FROM documents GROUP BY text ORDER BY doc_id
+            """,
+            "text_stats": f"""
+                SELECT doc_id,
+                       length(text) AS n_chars,
+                       length(regexp_extract_all(text, '{tok}')) AS n_tokens,
+                       length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS n_punct
+                FROM documents ORDER BY doc_id
+            """,
+            "doc_fingerprint": r"""
+                SELECT doc_id,
+                       md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint
+                FROM documents ORDER BY doc_id
+            """,
+            "ann_topk": """
+                WITH q AS (
+                    SELECT vec_id AS query_id, embedding
+                    FROM embeddings ORDER BY vec_id LIMIT 8
+                ),
+                scored AS (
+                    SELECT q.query_id, e.vec_id,
+                           CAST(floor(list_cosine_similarity(
+                               CAST(q.embedding AS DOUBLE[]),
+                               CAST(e.embedding AS DOUBLE[])) * 1000000)
+                               AS BIGINT) AS sim_micro
+                    FROM q, embeddings e
+                    WHERE e.vec_id <> q.query_id
+                ),
+                ranked AS (
+                    SELECT query_id, vec_id, sim_micro,
+                           row_number() OVER (
+                               PARTITION BY query_id
+                               ORDER BY sim_micro DESC, vec_id
+                           ) AS "rank"
+                    FROM scored
+                )
+                SELECT query_id, "rank", vec_id, sim_micro
+                FROM ranked WHERE "rank" <= 10 ORDER BY query_id, "rank"
+            """,
+            "events_tumbling": """
+                SELECT user_id,
+                       CAST(floor(epoch(ts) / 3600) AS BIGINT) AS window_hour,
+                       count(*) AS n_events,
+                       CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS sum_milli
+                FROM events GROUP BY 1, 2 ORDER BY user_id, window_hour
+            """,
+            "revenue_by_nation": """
+                SELECT n.n_name,
+                       CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100)
+                           AS BIGINT)) AS BIGINT) AS revenue_cents,
+                       count(*) AS n_items
+                FROM lineitem l
+                JOIN orders o ON l.l_orderkey = o.o_orderkey
+                JOIN customer c ON o.o_custkey = c.c_custkey
+                JOIN nation n ON c.c_nationkey = n.n_nationkey
+                GROUP BY n.n_name ORDER BY n.n_name
+            """,
+            "pricing_summary": """
+                SELECT l_returnflag, l_linestatus,
+                       CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty,
+                       CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_price,
+                       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_price,
+                       count(*) AS count_order
+                FROM lineitem
+                GROUP BY l_returnflag, l_linestatus
+                ORDER BY l_returnflag, l_linestatus
+            """,
+            "media_decode_meta": """
+                SELECT doc_id AS media_id,
+                       octet_length(encode(text)) AS n_bytes,
+                       octet_length(encode(text)) % 640 AS width,
+                       (octet_length(encode(text)) * 7) % 480 AS height,
+                       octet_length(encode(text)) % 16 AS n_frames
+                FROM documents ORDER BY media_id
+            """,
+        }
+    )
+    # doc_dedup_minhash / doc_simhash / doc_ngram_jaccard /
+    # embedding_near_dup / ann_ivf / lang_id / kg_mentions_raw are
+    # approximate or non-SQL-expressible → rows-only checks.
+    return sql

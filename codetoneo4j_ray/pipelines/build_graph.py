@@ -102,6 +102,9 @@ def build_graph(
     records_dir = f"{out_dir}/records"
 
     if not (resume and stage_is_complete(out_dir, "records", fp)):
+        import shutil
+
+        shutil.rmtree(records_dir, ignore_errors=True)
         corpus = read_corpus(input_path)
         records = extract_to_records(corpus, min_accessibility, concurrency)
         records.write_parquet(records_dir)
@@ -112,7 +115,10 @@ def build_graph(
     outputs = graph_from_records(records)
     metrics: dict = {}
     for name in ("nodes", "edges", "files"):
+        import shutil
+
         path = f"{out_dir}/{name}"
+        shutil.rmtree(path, ignore_errors=True)
         outputs[name].write_parquet(path)
         metrics[name] = ray.data.read_parquet(path).count()
     write_manifest(out_dir, "graph", fp, metrics)

@@ -1,0 +1,622 @@
+"""Large-scale training-data operations over the driver's testdata tables.
+
+Every op is a Ray Data pipeline (vectorized map_batches + map-side
+combine before any groupby). Ops with float outputs use per-row
+``floor(x * K) → int64`` before summing so Ray and the DuckDB oracle
+agree bit-exactly regardless of summation order.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+
+def _docs(sf_dir: str, columns=None) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def _emb(sf_dir: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------------
+# exact dedup: hash-partition by content hash + per-group first
+# ---------------------------------------------------------------------------
+
+
+def doc_dedup_exact(sf_dir: str) -> ray.data.Dataset:
+    """One row per distinct text: (doc_id = min id, n_dups). The combine
+    step collapses duplicates per batch before the shuffle."""
+
+    def combine(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["h"] = [
+            hashlib.sha256(t.encode("utf-8")).hexdigest() for t in df["text"]
+        ]
+        g = df.groupby("h", as_index=False).agg(
+            doc_id=("doc_id", "min"), n_dups=("doc_id", "size")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": [group["doc_id"].min()], "n_dups": [group["n_dups"].sum()]}
+        )
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(combine, batch_format="pyarrow")
+        .groupby("h")
+        .map_groups(merge, batch_format="pandas")
+        .select_columns(["doc_id", "n_dups"])
+        .sort("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup: shingle → minhash → band → bucket groupby
+# ---------------------------------------------------------------------------
+
+_MINHASH_PERMS = 64
+_LSH_BANDS = 16  # 16 bands × 4 rows
+_MERSENNE = (1 << 61) - 1
+
+
+def _shingles(text: str, k: int = 3) -> set[int]:
+    words = text.lower().split()
+    if len(words) < k:
+        return {hash_bytes(" ".join(words))} if words else set()
+    return {hash_bytes(" ".join(words[i : i + k])) for i in range(len(words) - k + 1)}
+
+
+def hash_bytes(s: str) -> int:
+    # masked to 61 bits so signatures fit int64 arithmetic
+    return (
+        int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
+        & _MERSENNE
+    )
+
+
+_rng = np.random.RandomState(7)
+_A = _rng.randint(1, _MERSENNE, size=_MINHASH_PERMS, dtype=np.int64)
+_B = _rng.randint(0, _MERSENNE, size=_MINHASH_PERMS, dtype=np.int64)
+
+
+def _minhash_sig(sh: set[int]) -> np.ndarray:
+    if not sh:
+        return np.full(_MINHASH_PERMS, _MERSENNE, dtype=np.int64)
+    x = np.fromiter(sh, dtype=np.int64, count=len(sh)) & _MERSENNE
+    # (a*x + b) mod p, vectorized over perms × shingles
+    vals = (x[None, :].astype(object) * _A[:, None] + _B[:, None]) % _MERSENNE
+    return np.min(vals.astype(np.int64), axis=1)
+
+
+def doc_dedup_minhash(sf_dir: str, jaccard_threshold: float = 0.8) -> ray.data.Dataset:
+    """Near-duplicate pairs (a < b) with band-LSH candidates verified by
+    exact shingle Jaccard. Returns (doc_a, doc_b)."""
+
+    rows_per_band = _MINHASH_PERMS // _LSH_BANDS
+
+    def to_bands(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        out_band, out_bucket, out_id = [], [], []
+        for doc_id, text in zip(ids, texts):
+            sig = _minhash_sig(_shingles(text))
+            for b in range(_LSH_BANDS):
+                chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
+                bucket = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
+                out_band.append(b)
+                out_bucket.append(bucket)
+                out_id.append(doc_id)
+        return pa.table(
+            {
+                "band": pa.array(out_band, pa.int32()),
+                "bucket": pa.array(out_bucket, pa.string()),
+                "doc_id": pa.array(out_id, pa.int64()),
+            }
+        )
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(group["doc_id"].unique())
+        pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
+        if not pairs:
+            return pd.DataFrame({"doc_a": [], "doc_b": []}).astype("int64")
+        return pd.DataFrame(pairs, columns=["doc_a", "doc_b"])
+
+    candidates = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(to_bands, batch_format="pyarrow")
+        .groupby(["band", "bucket"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+    # dedup candidate pairs across bands, then verify exact Jaccard with a
+    # broadcast shingle table (test scale; partition by doc_a at scale)
+    cand = candidates.groupby(["doc_a", "doc_b"]).map_groups(
+        lambda g: g.iloc[:1], batch_format="pandas"
+    )
+    docs_local = _docs(sf_dir, ["doc_id", "text"]).take_all()
+    shingle_map = {r["doc_id"]: _shingles(r["text"]) for r in docs_local}
+    sm_ref = ray.put(shingle_map)
+
+    class Verify:
+        def __init__(self):
+            self.sm = ray.get(sm_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keep = []
+            a_l = batch["doc_a"].to_pylist()
+            b_l = batch["doc_b"].to_pylist()
+            for a, b in zip(a_l, b_l):
+                sa, sb = self.sm.get(a, set()), self.sm.get(b, set())
+                union = len(sa | sb)
+                j = (len(sa & sb) / union) if union else 1.0
+                keep.append(j >= jaccard_threshold)
+            return batch.filter(pa.array(keep, pa.bool_()))
+
+    return cand.map_batches(
+        Verify, batch_format="pyarrow", concurrency=(1, 4)
+    ).sort(["doc_a", "doc_b"])
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup fingerprints
+# ---------------------------------------------------------------------------
+
+
+def doc_simhash(sf_dir: str) -> ray.data.Dataset:
+    """64-bit SimHash per document: (doc_id, simhash hex)."""
+
+    def simhash(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        out = []
+        for text in texts:
+            acc = np.zeros(64, dtype=np.int64)
+            for w in set(text.lower().split()):
+                h = hash_bytes(w)
+                bits = (h >> np.arange(64)) & 1
+                acc += np.where(bits == 1, 1, -1)
+            val = 0
+            for bit_idx in np.nonzero(acc > 0)[0]:
+                val |= 1 << int(bit_idx)
+            out.append(f"{val:016x}")
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "simhash": pa.array(out, pa.string()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        simhash, batch_format="pyarrow"
+    ).sort("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard pair scoring (exact, bucketed by length band)
+# ---------------------------------------------------------------------------
+
+
+def doc_ngram_jaccard(sf_dir: str, threshold: float = 0.5) -> ray.data.Dataset:
+    """Exact word-3-gram Jaccard ≥ threshold pairs within source groups
+    (documents sharing `source` — a natural blocking key)."""
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        rows = sorted(zip(group["doc_id"], group["text"]))
+        out = []
+        sh = [(d, _shingles(t)) for d, t in rows]
+        for i in range(len(sh)):
+            for j in range(i + 1, len(sh)):
+                a, sa = sh[i]
+                b, sb = sh[j]
+                union = len(sa | sb)
+                jac = (len(sa & sb) / union) if union else 1.0
+                if jac >= threshold:
+                    out.append((a, b))
+        if not out:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64")})
+        return pd.DataFrame(out, columns=["doc_a", "doc_b"])
+
+    return (
+        _docs(sf_dir, ["doc_id", "text", "source"])
+        .groupby("source")
+        .map_groups(pairs, batch_format="pandas")
+        .sort(["doc_a", "doc_b"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup + ANN top-k (brute-force cosine vs broadcast matrix)
+# ---------------------------------------------------------------------------
+
+
+def _embedding_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    rows = _emb(sf_dir).take_all()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    mat = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    order = np.argsort(ids)
+    return ids[order], mat[order]
+
+
+def ann_topk(sf_dir: str, n_queries: int = 8, k: int = 10) -> ray.data.Dataset:
+    """Brute-force cosine top-k: queries = embeddings of the first
+    n_queries vec_ids; numpy matmul per batch against the broadcast query
+    matrix (``ray.put`` once). Ties broken by vec_id ascending."""
+    ids, mat = _embedding_matrix(sf_dir)
+    q_ids = ids[:n_queries]
+    q = mat[:n_queries]
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    q_ref = ray.put((q_ids, qn))
+
+    class Score:
+        def __init__(self):
+            self.q_ids, self.qn = ray.get(q_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vec_ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+            m = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in batch["embedding"].to_pylist()]
+            )
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            sims = self.qn @ m.T  # (Q, B)
+            out_q, out_v, out_s = [], [], []
+            for qi in range(sims.shape[0]):
+                for bi in range(sims.shape[1]):
+                    if vec_ids[bi] == self.q_ids[qi]:
+                        continue  # exclude self
+                    out_q.append(int(self.q_ids[qi]))
+                    out_v.append(int(vec_ids[bi]))
+                    out_s.append(float(sims[qi, bi]))
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, pa.int64()),
+                    "vec_id": pa.array(out_v, pa.int64()),
+                    "sim_micro": pa.array(
+                        [int(np.floor(s * 1_000_000)) for s in out_s], pa.int64()
+                    ),
+                }
+            )
+
+    def topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(
+            ["sim_micro", "vec_id"], ascending=[False, True], kind="stable"
+        ).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "rank", "vec_id", "sim_micro"]]
+
+    scored = _emb(sf_dir).map_batches(Score, batch_format="pyarrow", concurrency=(1, 4))
+    return scored.groupby("query_id").map_groups(topk, batch_format="pandas").sort(
+        ["query_id", "rank"]
+    )
+
+
+def embedding_near_dup(sf_dir: str, threshold: float = 0.95) -> ray.data.Dataset:
+    """All pairs (a < b) with cosine ≥ threshold — brute force per batch
+    against the broadcast full matrix (IVF/LSH bucketing is the scale
+    path, see ann_ivf)."""
+    ids, mat = _embedding_matrix(sf_dir)
+    n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    ref = ray.put((ids, n))
+
+    class Pairs:
+        def __init__(self):
+            self.ids, self.n = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vec_ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+            m = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in batch["embedding"].to_pylist()]
+            )
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            sims = m @ self.n.T
+            a_l, b_l = [], []
+            for i in range(sims.shape[0]):
+                hits = np.nonzero(sims[i] >= threshold)[0]
+                for h in hits:
+                    a, b = int(vec_ids[i]), int(self.ids[h])
+                    if a < b:
+                        a_l.append(a)
+                        b_l.append(b)
+            return pa.table(
+                {"vec_a": pa.array(a_l, pa.int64()), "vec_b": pa.array(b_l, pa.int64())}
+            )
+
+    return (
+        _emb(sf_dir)
+        .map_batches(Pairs, batch_format="pyarrow", concurrency=(1, 4))
+        .sort(["vec_a", "vec_b"])
+    )
+
+
+def ann_ivf(sf_dir: str, n_queries: int = 8, k: int = 10, n_cells: int = 16,
+            n_probe: int = 4) -> ray.data.Dataset:
+    """IVF variant: k-means-lite (deterministic seeded init, 5 Lloyd
+    iterations on a sample) partitions vectors into cells; queries probe
+    the n_probe nearest cells only. Approximate — rows-only check."""
+    ids, mat = _embedding_matrix(sf_dir)
+    n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    rng = np.random.RandomState(13)
+    centers = n[rng.choice(len(n), size=min(n_cells, len(n)), replace=False)]
+    for _ in range(5):
+        assign = np.argmax(n @ centers.T, axis=1)
+        for c in range(len(centers)):
+            members = n[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                centers[c] = v / (np.linalg.norm(v) or 1.0)
+    assign = np.argmax(n @ centers.T, axis=1)
+    q_ids, qn = ids[:n_queries], n[:n_queries]
+    probe = np.argsort(-(qn @ centers.T), axis=1)[:, :n_probe]
+
+    out_rows = []
+    for qi in range(len(q_ids)):
+        cand_mask = np.isin(assign, probe[qi])
+        cand_ids = ids[cand_mask]
+        sims = qn[qi] @ n[cand_mask].T
+        order = np.lexsort((cand_ids, -np.floor(sims * 1e6)))
+        rank = 0
+        for idx in order:
+            if cand_ids[idx] == q_ids[qi]:
+                continue
+            rank += 1
+            out_rows.append(
+                (int(q_ids[qi]), rank, int(cand_ids[idx]),
+                 int(np.floor(sims[idx] * 1e6)))
+            )
+            if rank >= k:
+                break
+    table = pa.table(
+        {
+            "query_id": pa.array([r[0] for r in out_rows], pa.int64()),
+            "rank": pa.array([r[1] for r in out_rows], pa.int64()),
+            "vec_id": pa.array([r[2] for r in out_rows], pa.int64()),
+            "sim_micro": pa.array([r[3] for r in out_rows], pa.int64()),
+        }
+    )
+    return ray.data.from_arrow(table)
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+_PUNCT_PATTERN = r"[^.,!?;:]"
+
+_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "that", "it", "for"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "von"},
+    "fr": {"le", "la", "les", "et", "est", "un", "une", "de", "pas", "pour"},
+    "es": {"el", "la", "los", "y", "es", "un", "una", "de", "no", "por"},
+}
+
+
+def text_stats(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, n_chars, n_tokens, n_punct) — SQL-replicable quality stats."""
+    import re
+
+    tok = re.compile(_TOKEN_PATTERN, re.ASCII)  # match RE2/DuckDB \s semantics
+
+    def stats(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+                "n_tokens": pa.array([len(tok.findall(t)) for t in texts], pa.int64()),
+                "n_punct": pa.array(
+                    [sum(1 for c in t if c in ".,!?;:") for t in texts], pa.int64()
+                ),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        stats, batch_format="pyarrow"
+    ).sort("doc_id")
+
+
+def lang_id(sf_dir: str) -> ray.data.Dataset:
+    """Stopword-vote language ID heuristic: (doc_id, lang_pred)."""
+
+    def classify(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        preds = []
+        for t in texts:
+            words = set(t.lower().split())
+            best, best_n = "unknown", 0
+            for lang in sorted(_STOPWORDS):
+                hits = len(words & _STOPWORDS[lang])
+                if hits > best_n:
+                    best, best_n = lang, hits
+            preds.append(best)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "lang_pred": pa.array(preds, pa.string()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        classify, batch_format="pyarrow"
+    ).sort("doc_id")
+
+
+def doc_fingerprint(sf_dir: str) -> ray.data.Dataset:
+    """Normalized-text digest fingerprint: md5(lower(ws-collapsed text))."""
+    import re
+
+    ws = re.compile(r"\s+", re.ASCII)  # match RE2/DuckDB \s semantics
+
+    def fp(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        out = [
+            hashlib.md5(ws.sub(" ", t).lower().encode("utf-8")).hexdigest()
+            for t in texts
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "fingerprint": pa.array(out, pa.string()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fp, batch_format="pyarrow"
+    ).sort("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# events: tumbling-window aggregate (streaming-shaped workload, batch form)
+# ---------------------------------------------------------------------------
+
+
+def events_tumbling(sf_dir: str) -> ray.data.Dataset:
+    """Per (user, hour) tumbling window: count + exact integer value sum
+    (floor(value*1000) per row so the oracle matches bit-exactly).
+    Map-side partials per batch, then a small groupby."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        # integer hour bucket (epoch secs // 3600): engine-exact vs DuckDB
+        df["window_hour"] = df["ts"].astype("datetime64[s]").astype("int64") // 3600
+        df["value_milli"] = np.floor(df["value"] * 1000).astype("int64")
+        g = df.groupby(["user_id", "window_hour"], as_index=False).agg(
+            n_events=("event_id", "size"), sum_milli=("value_milli", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": [group["user_id"].iloc[0]],
+                "window_hour": [group["window_hour"].iloc[0]],
+                "n_events": [group["n_events"].sum()],
+                "sum_milli": [group["sum_milli"].sum()],
+            }
+        )
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["user_id", "window_hour"])
+        .map_groups(merge, batch_format="pandas")
+        .sort(["user_id", "window_hour"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# relational: broadcast-join revenue per nation (TPC-H Q5-ish shape)
+# ---------------------------------------------------------------------------
+
+
+def revenue_by_nation(sf_dir: str) -> ray.data.Dataset:
+    """lineitem ⋈ orders ⋈ customer ⋈ nation. The small dimension chain
+    (orders→customer→nation mapping) is built once and broadcast; the
+    fact table streams through map_batches — no shuffle join."""
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    ).to_pandas()
+    customer = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
+    nation = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    dim = orders.merge(customer, left_on="o_custkey", right_on="c_custkey").merge(
+        nation, left_on="c_nationkey", right_on="n_nationkey"
+    )[["o_orderkey", "n_name"]]
+    order_to_nation = dict(zip(dim["o_orderkey"], dim["n_name"]))
+    ref = ray.put(order_to_nation)
+
+    class Join:
+        def __init__(self):
+            self.map = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            df["n_name"] = df["l_orderkey"].map(self.map)
+            df["rev_cents"] = np.floor(
+                df["l_extendedprice"] * (1 - df["l_discount"]) * 100
+            ).astype("int64")
+            g = df.groupby("n_name", as_index=False).agg(
+                revenue_cents=("rev_cents", "sum"), n_items=("l_orderkey", "size")
+            )
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "n_name": [group["n_name"].iloc[0]],
+                "revenue_cents": [group["revenue_cents"].sum()],
+                "n_items": [group["n_items"].sum()],
+            }
+        )
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(Join, batch_format="pyarrow", concurrency=(1, 8))
+        .groupby("n_name")
+        .map_groups(merge, batch_format="pandas")
+        .sort("n_name")
+    )
+
+
+def pricing_summary(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q1-shaped integer-exact pricing summary by return flag/status."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["qty_i"] = np.floor(df["l_quantity"] * 100).astype("int64")
+        df["price_i"] = np.floor(df["l_extendedprice"] * 100).astype("int64")
+        df["disc_price_i"] = np.floor(
+            df["l_extendedprice"] * (1 - df["l_discount"]) * 100
+        ).astype("int64")
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("qty_i", "sum"),
+            sum_base_price=("price_i", "sum"),
+            sum_disc_price=("disc_price_i", "sum"),
+            count_order=("l_quantity", "size"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_returnflag": [group["l_returnflag"].iloc[0]],
+                "l_linestatus": [group["l_linestatus"].iloc[0]],
+                "sum_qty": [group["sum_qty"].sum()],
+                "sum_base_price": [group["sum_base_price"].sum()],
+                "sum_disc_price": [group["sum_disc_price"].sum()],
+                "count_order": [group["count_order"].sum()],
+            }
+        )
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_returnflag", "l_linestatus", "l_quantity",
+                     "l_extendedprice", "l_discount"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .map_groups(merge, batch_format="pandas")
+        .sort(["l_returnflag", "l_linestatus"])
+    )

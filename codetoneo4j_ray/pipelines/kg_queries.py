@@ -1,0 +1,270 @@
+"""KG queries over the synthetic corpus + their DuckDB oracles.
+
+The driver's correctness gate runs each ``queries()`` callable AND its
+``oracle_sql()`` string side-by-side. C# parsing is not SQL-expressible,
+so the oracle contract is: stage 1 (extraction) writes its raw record
+stream to Parquet once per scale factor (deterministic: same corpus ⇒
+same records); the *distributed* stages — linking semi-join, dedup,
+structural-edge derivation, sort — are then computed BOTH by Ray (the
+query) and by DuckDB (the oracle) from those same Parquet files.
+Parsing itself is covered by the snippet-level pytest suite
+(tests/test_csharp_extractor.py etc.), mirroring the reference's test
+split (SURVEY §5). The files oracle additionally recomputes sha256 from
+the corpus content in SQL, checking the per-row hash invariant.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data
+
+from codetoneo4j_ray.extractors.csharp.extractor import BASE_PRED, MEMBER_PRED
+from codetoneo4j_ray.functions.tags import parse_namespace_tags
+from codetoneo4j_ray.pipelines.build_graph import extract_to_records, read_corpus
+from codetoneo4j_ray.sources.synth import corpus_dir_for_sf, ensure_corpus
+from codetoneo4j_ray.stages.canonicalize import dedup_files, dedup_nodes, distinct_triples
+from codetoneo4j_ray.stages.link import (
+    build_member_indices,
+    resolve_edges_broadcast,
+    resolve_mentions,
+    strip_internal,
+)
+from codetoneo4j_ray.stages.materialize import (
+    finalize_files,
+    finalize_nodes,
+    structural_edges,
+)
+from codetoneo4j_ray.state.manifest import corpus_fingerprint, stage_is_complete, write_manifest
+
+_KG_CONFIG = {"min_accessibility": "Private", "kg_cache_v": 4}
+
+
+def kg_paths(sf_dir: str) -> dict[str, str]:
+    base = os.path.join(corpus_dir_for_sf(sf_dir), "out")
+    return {
+        "out": base,
+        "corpus": os.path.join(corpus_dir_for_sf(sf_dir), "corpus.parquet"),
+        "records": os.path.join(base, "records"),
+        "mentions": os.path.join(base, "mentions_resolved"),
+        "tags_map": os.path.join(base, "tags_map.parquet"),
+    }
+
+
+def ensure_kg(sf_dir: str) -> dict[str, str]:
+    """Generate corpus + run stage 1 + linking once per scale factor."""
+    corpus_path = ensure_corpus(sf_dir)
+    paths = kg_paths(sf_dir)
+    fp = corpus_fingerprint(corpus_path, _KG_CONFIG)
+    if stage_is_complete(paths["out"], "kgcache", fp):
+        return paths
+    corpus = read_corpus(corpus_path)
+    records = extract_to_records(corpus)
+    shutil.rmtree(paths["records"], ignore_errors=True)
+    records.write_parquet(paths["records"])
+
+    records_ds = ray.data.read_parquet(paths["records"])
+    member_indices = build_member_indices(records_ds)
+    resolved = strip_internal(
+        resolve_mentions(records_ds, member_indices).filter(
+            expr="rec_type == 'mention'"
+        )
+    ).select_columns(["subj", "pred", "obj", "repo"])
+    shutil.rmtree(paths["mentions"], ignore_errors=True)
+    resolved.write_parquet(paths["mentions"])
+
+    # namespace → tag side table so the oracle can join instead of
+    # reimplementing the PascalCase splitter in SQL
+    ns_rows = (
+        records_ds.filter(expr="rec_type == 'symbol'")
+        .select_columns(["namespace"])
+        .take_all()
+    )
+    seen: set[str] = set()
+    ns_col, tag_col = [], []
+    for r in ns_rows:
+        ns = r["namespace"]
+        if ns is None or ns in seen or not ns.strip():
+            continue
+        seen.add(ns)
+        for tag in parse_namespace_tags(ns):
+            ns_col.append(ns)
+            tag_col.append(tag)
+    pq.write_table(
+        pa.table({"namespace": pa.array(ns_col, pa.string()),
+                  "tag": pa.array(tag_col, pa.string())}),
+        paths["tags_map"],
+    )
+    write_manifest(paths["out"], "kgcache", fp, {"records": records_ds.count()})
+    return paths
+
+
+# ---------------------------------------------------------------------------
+# Ray-side queries (each re-runs the distributed stages from the records)
+# ---------------------------------------------------------------------------
+
+_NODE_COLS = [
+    "key", "name", "kind", "class", "fqn", "accessibility", "file_key",
+    "path", "start_line", "end_line", "documentation", "comments",
+    "namespace", "version", "language", "technology", "repo",
+]
+
+
+def q_kg_nodes(sf_dir: str) -> ray.data.Dataset:
+    paths = ensure_kg(sf_dir)
+    symbols = ray.data.read_parquet(paths["records"]).filter(
+        expr="rec_type == 'symbol'"
+    )
+    return finalize_nodes(dedup_nodes(symbols)).sort("key")
+
+
+def q_kg_edges(sf_dir: str) -> ray.data.Dataset:
+    paths = ensure_kg(sf_dir)
+    records = ray.data.read_parquet(paths["records"])
+    mentions = ray.data.read_parquet(paths["mentions"]).select_columns(
+        ["subj", "pred", "obj"]
+    )
+    symbols = records.filter(expr="rec_type == 'symbol'")
+    symbol_keys = {r["key"] for r in symbols.select_columns(["key"]).take_all()}
+    sym_edges = resolve_edges_broadcast(mentions, symbol_keys)
+    edges = distinct_triples(sym_edges.union(structural_edges(records)))
+    return edges.sort(["subj", "pred", "obj"])
+
+
+def q_kg_files(sf_dir: str) -> ray.data.Dataset:
+    paths = ensure_kg(sf_dir)
+    files = ray.data.read_parquet(paths["records"]).filter(
+        expr="rec_type == 'file'"
+    )
+    return finalize_files(dedup_files(files)).sort("key")
+
+
+def q_kg_symbol_kinds(sf_dir: str) -> ray.data.Dataset:
+    """Node count per (language, kind) after dedup — aggregate sanity."""
+    paths = ensure_kg(sf_dir)
+    symbols = ray.data.read_parquet(paths["records"]).filter(
+        expr="rec_type == 'symbol'"
+    )
+    import pandas as pd
+
+    def count(group: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "language": [group["language"].iloc[0]],
+                "kind": [group["kind"].iloc[0]],
+                "n": [len(group)],
+            }
+        )
+
+    return (
+        dedup_nodes(symbols)
+        .groupby(["language", "kind"])
+        .map_groups(count, batch_format="pandas")
+        .sort(["language", "kind"])
+    )
+
+
+def q_kg_mentions_raw(sf_dir: str) -> ray.data.Dataset:
+    """Raw mention triples (relBuffer analog, pre-linking) — rows-only."""
+    paths = ensure_kg(sf_dir)
+    return (
+        ray.data.read_parquet(paths["mentions"])
+        .select_columns(["subj", "pred", "obj"])
+        .sort(["subj", "pred", "obj"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles (read the same parquet artifacts)
+# ---------------------------------------------------------------------------
+
+
+def _p(path: str) -> str:
+    return f"read_parquet('{path}/*.parquet')"
+
+
+def oracle_kg(sf_dir: str) -> dict[str, str]:
+    paths = kg_paths(sf_dir)
+    records = _p(paths["records"])
+    mentions = _p(paths["mentions"])
+    corpus = f"read_parquet('{paths['corpus']}')"
+    tags_map = f"read_parquet('{paths['tags_map']}')"
+
+    nodes_dedup = f"""
+        SELECT * FROM (
+            SELECT key, name, kind, "class", fqn, accessibility, file_key,
+                   path, start_line, end_line,
+                   substr(documentation, 1, 8000) AS documentation,
+                   substr(comments, 1, 8000) AS comments,
+                   namespace, version, language, technology, repo,
+                   row_number() OVER (
+                       PARTITION BY key
+                       ORDER BY path DESC, start_line DESC, end_line DESC, repo DESC, namespace DESC, kind DESC, accessibility DESC
+                   ) AS rn
+            FROM {records} WHERE rec_type = 'symbol'
+        ) WHERE rn = 1
+    """
+    return {
+        "kg_nodes": f"""
+            SELECT key, name, kind, "class", fqn, accessibility, file_key,
+                   path, start_line, end_line, documentation, comments,
+                   namespace, version, language, technology, repo
+            FROM ({nodes_dedup}) ORDER BY key
+        """,
+        "kg_edges": f"""
+            WITH sym AS (SELECT * FROM {records} WHERE rec_type = 'symbol'),
+            keys AS (SELECT DISTINCT key FROM sym),
+            men AS (
+                SELECT subj, pred, obj FROM {mentions}
+                WHERE pred NOT IN ('{MEMBER_PRED}', '{BASE_PRED}')
+            ),
+            all_edges AS (
+                SELECT m.subj, m.pred, m.obj
+                FROM men m
+                JOIN keys k1 ON m.subj = k1.key
+                JOIN keys k2 ON m.obj = k2.key
+                UNION ALL
+                SELECT file_key, 'src__DECLARES', key FROM sym
+                UNION ALL
+                SELECT lower(repo), 'src__HAS_FILE', key
+                FROM {records} WHERE rec_type = 'file'
+                UNION ALL
+                SELECT s.key, 'src__HAS_TAG', t.tag
+                FROM sym s JOIN {tags_map} t ON s.namespace = t.namespace
+                UNION ALL
+                SELECT lower(repo), 'src__DEPENDS_ON', key
+                FROM sym WHERE kind = 'Dependency'
+                UNION ALL
+                SELECT dep_key, 'src__HAS_URL', url_key
+                FROM {records} WHERE rec_type = 'url'
+            )
+            SELECT DISTINCT subj, pred, obj FROM all_edges
+            ORDER BY subj, pred, obj
+        """,
+        "kg_files": f"""
+            WITH filed AS (
+                SELECT * FROM (
+                    SELECT key, path, file_name, namespace, language,
+                           technology, repo, commit,
+                           row_number() OVER (
+                               PARTITION BY key ORDER BY path DESC, repo DESC
+                           ) AS rn
+                    FROM {records} WHERE rec_type = 'file'
+                ) WHERE rn = 1
+            )
+            SELECT DISTINCT f.key, f.path, f.file_name, f.namespace,
+                   sha256(c.content) AS sha256,
+                   f.language, f.technology, f.repo, f.commit
+            FROM filed f
+            JOIN {corpus} c ON f.repo = c.repo AND f.path = c.path
+            ORDER BY f.key
+        """,
+        "kg_symbol_kinds": f"""
+            SELECT language, kind, count(*) AS n
+            FROM ({nodes_dedup})
+            GROUP BY language, kind ORDER BY language, kind
+        """,
+    }

@@ -22,16 +22,22 @@ import ray.data
 
 _SEP = "\x00"
 
+# Total tie-break order: the reference's winner is nondeterministic
+# (parallel flush order, Cypher MERGE…SET); ours is the max row under
+# this total order, replicated exactly in the DuckDB oracles.
+_TIEBREAK = ["path", "start_line", "end_line", "repo", "namespace", "kind", "accessibility"]
+_FILE_TIEBREAK = ["path", "repo"]
+
 
 def _local_dedup_nodes(batch: pa.Table) -> pa.Table:
     df = batch.to_pandas()
-    df = df.sort_values(["key", "path", "start_line", "end_line"], kind="stable")
+    df = df.sort_values(["key"] + _TIEBREAK, kind="stable")
     df = df.drop_duplicates(subset=["key"], keep="last")
     return pa.Table.from_pandas(df, preserve_index=False, schema=batch.schema)
 
 
 def _pick_winner(group: pd.DataFrame) -> pd.DataFrame:
-    group = group.sort_values(["path", "start_line", "end_line"], kind="stable")
+    group = group.sort_values(_TIEBREAK, kind="stable")
     return group.tail(1)
 
 
@@ -65,13 +71,13 @@ def dedup_files(files: ray.data.Dataset) -> ray.data.Dataset:
 
     def local(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
-        df = df.sort_values(["key", "path"], kind="stable").drop_duplicates(
+        df = df.sort_values(["key"] + _FILE_TIEBREAK, kind="stable").drop_duplicates(
             subset=["key"], keep="last"
         )
         return pa.Table.from_pandas(df, preserve_index=False, schema=batch.schema)
 
     def winner(group: pd.DataFrame) -> pd.DataFrame:
-        return group.sort_values(["path"], kind="stable").tail(1)
+        return group.sort_values(_FILE_TIEBREAK, kind="stable").tail(1)
 
     return (
         files.map_batches(local, batch_format="pyarrow")
