@@ -1,0 +1,143 @@
+"""Training-data op tests over the sf0.001 testdata + tiny synthetic inputs."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _ray(ray_session):
+    yield
+
+
+def test_doc_dedup_exact_groups_by_text():
+    from codetoneo4j_ray.pipelines.data_ops import doc_dedup_exact
+
+    df = doc_dedup_exact(SF).to_pandas()
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    expected = docs.groupby("text").agg(doc_id=("doc_id", "min"), n_dups=("doc_id", "size"))
+    expected = expected.sort_values("doc_id").reset_index(drop=True)
+    assert list(df["doc_id"]) == list(expected["doc_id"])
+    assert list(df["n_dups"]) == list(expected["n_dups"])
+
+
+def test_minhash_finds_planted_near_dup(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from codetoneo4j_ray.pipelines.data_ops import doc_dedup_minhash
+
+    base = ("the quick brown fox jumps over the lazy dog and runs far away "
+            "into the deep green forest tonight while stars shine bright "
+            "above the quiet valley where rivers flow gently toward the sea")
+    near = base + " tonight"  # one appended word → Jaccard ≈ 0.97
+    texts = [base, near, "completely different text about database systems",
+             "another unrelated short document entirely"]
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                  "text": pa.array(texts, pa.string())}),
+        str(tmp_path / "documents.parquet"),
+    )
+    pairs = doc_dedup_minhash(str(tmp_path)).to_pandas()
+    assert (0, 1) in set(map(tuple, pairs[["doc_a", "doc_b"]].values))
+    assert len(pairs) == 1
+
+
+def test_simhash_similar_docs_close():
+    from codetoneo4j_ray.pipelines.data_ops import doc_simhash
+
+    df = doc_simhash(SF).to_pandas()
+    assert len(df) == 500
+    assert df["simhash"].str.len().eq(16).all()
+
+
+def test_ann_topk_matches_numpy_bruteforce():
+    from codetoneo4j_ray.pipelines.data_ops import _embedding_matrix, ann_topk
+
+    df = ann_topk(SF).to_pandas()
+    ids, mat = _embedding_matrix(SF)
+    n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = n[:8] @ n.T
+    for qi in range(8):
+        order = []
+        for j in np.argsort(-sims[qi], kind="stable"):
+            if ids[j] == ids[qi]:
+                continue
+            order.append((int(np.floor(sims[qi][j] * 1e6)), int(ids[j])))
+        order.sort(key=lambda t: (-t[0], t[1]))
+        expect = [v for _s, v in order[:10]]
+        got = list(df[df.query_id == ids[qi]].sort_values("rank")["vec_id"])
+        assert got == expect
+
+
+def test_ann_ivf_mostly_agrees_with_exact():
+    from codetoneo4j_ray.pipelines.data_ops import ann_ivf, ann_topk
+
+    exact = ann_topk(SF).to_pandas()
+    approx = ann_ivf(SF).to_pandas()
+    agree = 0
+    for q in exact.query_id.unique():
+        e = set(exact[exact.query_id == q].vec_id)
+        a = set(approx[approx.query_id == q].vec_id)
+        agree += len(e & a) / len(e)
+    assert agree / exact.query_id.nunique() >= 0.5  # probing 4/16 cells
+
+
+def test_text_stats_shapes():
+    from codetoneo4j_ray.pipelines.data_ops import text_stats
+
+    df = text_stats(SF).to_pandas()
+    assert len(df) == 500
+    assert (df.n_chars > 0).all() and (df.n_tokens > 0).all()
+
+
+def test_lang_id_is_deterministic():
+    from codetoneo4j_ray.pipelines.data_ops import lang_id
+
+    a = lang_id(SF).to_pandas()
+    b = lang_id(SF).to_pandas()
+    assert a.equals(b)
+
+
+def test_events_tumbling_totals():
+    from codetoneo4j_ray.pipelines.data_ops import events_tumbling
+
+    import pyarrow.parquet as pq
+
+    df = events_tumbling(SF).to_pandas()
+    raw = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    assert df["n_events"].sum() == len(raw)
+    assert df["sum_milli"].sum() == int(np.floor(raw["value"] * 1000).sum())
+
+
+def test_revenue_by_nation_matches_pandas():
+    from codetoneo4j_ray.pipelines.data_ops import revenue_by_nation
+
+    import pyarrow.parquet as pq
+
+    df = revenue_by_nation(SF).to_pandas()
+    li = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+    orders = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    cust = pq.read_table(f"{SF}/customer.parquet").to_pandas()
+    nation = pq.read_table(f"{SF}/nation.parquet").to_pandas()
+    j = (li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+           .merge(cust, left_on="o_custkey", right_on="c_custkey")
+           .merge(nation, left_on="c_nationkey", right_on="n_nationkey"))
+    j["rc"] = np.floor(j.l_extendedprice * (1 - j.l_discount) * 100).astype("int64")
+    exp = j.groupby("n_name")["rc"].sum().sort_index()
+    got = df.set_index("n_name")["revenue_cents"]
+    assert got.to_dict() == exp.to_dict()
+
+
+def test_media_decode_stub():
+    from codetoneo4j_ray.pipelines.multimodal import media_decode_meta
+
+    df = media_decode_meta(SF).to_pandas()
+    assert len(df) == 500
+    assert (df.width == df.n_bytes % 640).all()
+    assert (df.n_frames == df.n_bytes % 16).all()
