@@ -1,0 +1,153 @@
+"""Benchmark harness.
+
+Runs the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) at $RAY_GRAFT_CPUS CPUs (default 32) and prints
+ONE JSON line:
+
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+   "kg_files": n, "kg_files_per_sec": r}
+
+``--scaling`` runs the kg_build pipeline in two fresh processes
+(num_cpus=8 then 32) on the same pre-generated input and reports both
+throughputs + scaling efficiency (the sandbox stand-in for the north
+rule's N vs 4N node clusters).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+    import ray.data
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from codetoneo4j_ray.pipelines import data_ops, multimodal
+    from codetoneo4j_ray.pipelines.build_graph import build_graph
+    from codetoneo4j_ray.sources.synth import corpus_dir_for_sf, ensure_corpus
+
+    # pre-generate + warm the page cache and the Ray worker pool (untimed):
+    # worker-process import costs are identical at every parallelism level
+    # and would otherwise swamp the scaling signal at bench scale
+    corpus_path = ensure_corpus(sf_dir)
+    with open(corpus_path, "rb") as f:
+        while f.read(1 << 24):
+            pass
+    import codetoneo4j_ray.extractors  # noqa: F401
+
+    def _warm(batch):
+        import codetoneo4j_ray.extractors  # noqa: F401
+        return batch
+
+    ray.data.range(num_cpus * 4).map_batches(_warm, batch_size=1).count()
+
+    out_dir = os.path.join(corpus_dir_for_sf(sf_dir), f"bench_out_{num_cpus}")
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    timings: dict[str, float] = {}
+    extras: dict = {}
+
+    t0 = time.perf_counter()
+    metrics = build_graph(corpus_path, out_dir, resume=False,
+                          concurrency=(max(1, num_cpus // 2), num_cpus))
+    timings["kg_build"] = round(time.perf_counter() - t0, 3)
+    extras["kg_nodes"] = metrics["nodes"]
+    extras["kg_edges"] = metrics["edges"]
+    extras["kg_files"] = metrics["files"]
+    extras["kg_files_per_sec"] = round(metrics["files"] / timings["kg_build"], 1)
+
+    def timed(name, fn):
+        t = time.perf_counter()
+        ds = fn(sf_dir)
+        n = ds.count()
+        timings[name] = round(time.perf_counter() - t, 3)
+        return n
+
+    timed("doc_dedup_exact", data_ops.doc_dedup_exact)
+    timed("doc_dedup_minhash", data_ops.doc_dedup_minhash)
+    timed("doc_simhash", data_ops.doc_simhash)
+    timed("ann_topk", data_ops.ann_topk)
+    timed("text_stats", data_ops.text_stats)
+    timed("doc_fingerprint", data_ops.doc_fingerprint)
+    timed("events_tumbling", data_ops.events_tumbling)
+    timed("revenue_by_nation", data_ops.revenue_by_nation)
+    timed("pricing_summary", data_ops.pricing_summary)
+    timed("media_decode_meta", multimodal.media_decode_meta)
+
+    total = round(sum(timings.values()), 3)
+    return {
+        "metric": "kg_build + data-ops wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        **extras,
+    }
+
+
+def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
+    """Same job, two parallelism levels, fresh processes."""
+    # pre-generate the corpus once so both runs read identical input
+    from codetoneo4j_ray.sources.synth import ensure_corpus
+
+    ensure_corpus(sf_dir)
+
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    r_lo, r_hi = one(lo), one(hi)
+    t_lo = r_lo["queries"]["kg_build"]
+    t_hi = r_hi["queries"]["kg_build"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "kg_build scaling efficiency",
+        "sf": sf_dir,
+        f"sec_{lo}": t_lo,
+        f"sec_{hi}": t_hi,
+        f"files_per_sec_{lo}": r_lo["kg_files_per_sec"],
+        f"files_per_sec_{hi}": r_hi["kg_files_per_sec"],
+        "speedup": round(t_lo / t_hi, 3),
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling(sf_dir)))
+        return
+    result = run_benchmarks(sf_dir, num_cpus)
+    print(json.dumps(result))
+    import ray
+
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -65,18 +65,24 @@ def graph_from_records(records: ray.data.Dataset) -> dict[str, ray.data.Dataset]
     Returns lazy datasets: nodes, edges, files, mentions_raw.
     """
     member_indices = build_member_indices(records)
-    resolved = resolve_mentions(records, member_indices)
 
     symbols = records.filter(expr="rec_type == 'symbol'")
     files = records.filter(expr="rec_type == 'file'")
-    mentions = strip_internal(resolved.filter(expr="rec_type == 'mention'"))
+    # narrow the mention stream before the resolve/join stages — only the
+    # resolution context columns travel, never the symbol payload
+    mention_cols = ["subj", "pred", "obj", "repo", "ctx_kind", "ctx_name",
+                    "ctx_receiver", "ctx_argc"]
+    mentions = strip_internal(
+        records.filter(expr="rec_type == 'mention'").select_columns(mention_cols)
+    )
+    resolved = resolve_mentions(mentions, member_indices)
 
     # declared-symbol key set (metadata): broadcast for the endpoint join
     key_rows = symbols.select_columns(["key"]).take_all()
     symbol_keys = {r["key"] for r in key_rows}
 
     sym_edges = resolve_edges_broadcast(
-        mentions.select_columns(["subj", "pred", "obj"]), symbol_keys
+        resolved.select_columns(["subj", "pred", "obj"]), symbol_keys
     )
     edges = distinct_triples(sym_edges.union(structural_edges(records)))
     nodes = finalize_nodes(dedup_nodes(symbols))
@@ -85,7 +91,7 @@ def graph_from_records(records: ray.data.Dataset) -> dict[str, ray.data.Dataset]
         "nodes": nodes.sort("key"),
         "edges": edges.sort(["subj", "pred", "obj"]),
         "files": files_out.sort("key"),
-        "mentions_raw": mentions,
+        "mentions_raw": resolved,
     }
 
 
@@ -101,25 +107,36 @@ def build_graph(
     fp = corpus_fingerprint(input_path, config)
     records_dir = f"{out_dir}/records"
 
-    if not (resume and stage_is_complete(out_dir, "records", fp)):
-        import shutil
+    import shutil
 
+    if not (resume and stage_is_complete(out_dir, "records", fp)):
         shutil.rmtree(records_dir, ignore_errors=True)
         corpus = read_corpus(input_path)
         records = extract_to_records(corpus, min_accessibility, concurrency)
         records.write_parquet(records_dir)
-        n = ray.data.read_parquet(records_dir).count()
-        write_manifest(out_dir, "records", fp, {"rows": n})
+        write_manifest(out_dir, "records", fp, {"rows": _parquet_rows(records_dir)})
 
     records = ray.data.read_parquet(records_dir)
     outputs = graph_from_records(records)
     metrics: dict = {}
     for name in ("nodes", "edges", "files"):
-        import shutil
-
         path = f"{out_dir}/{name}"
         shutil.rmtree(path, ignore_errors=True)
         outputs[name].write_parquet(path)
-        metrics[name] = ray.data.read_parquet(path).count()
+        metrics[name] = _parquet_rows(path)
     write_manifest(out_dir, "graph", fp, metrics)
     return metrics
+
+
+def _parquet_rows(path: str) -> int:
+    """Row count from parquet footers — no dataset re-read."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+    return total

@@ -17,6 +17,9 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from codetoneo4j_ray.stages.bucketing import bucketed_apply
+from codetoneo4j_ray.stages.link import _cached_get
+
 
 def _docs(sf_dir: str, columns=None) -> ray.data.Dataset:
     return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
@@ -45,16 +48,19 @@ def doc_dedup_exact(sf_dir: str) -> ray.data.Dataset:
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    def merge(group: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"doc_id": [group["doc_id"].min()], "n_dups": [group["n_dups"].sum()]}
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("h", as_index=False).agg(
+            doc_id=("doc_id", "min"), n_dups=("n_dups", "sum")
         )
 
     return (
-        _docs(sf_dir, ["doc_id", "text"])
-        .map_batches(combine, batch_format="pyarrow")
-        .groupby("h")
-        .map_groups(merge, batch_format="pandas")
+        bucketed_apply(
+            _docs(sf_dir, ["doc_id", "text"]).map_batches(
+                combine, batch_format="pyarrow"
+            ),
+            ["h"],
+            merge,
+        )
         .select_columns(["doc_id", "n_dups"])
         .sort("doc_id")
     )
@@ -124,46 +130,52 @@ def doc_dedup_minhash(sf_dir: str, jaccard_threshold: float = 0.8) -> ray.data.D
             }
         )
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(group["doc_id"].unique())
-        pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
-        if not pairs:
-            return pd.DataFrame({"doc_a": [], "doc_b": []}).astype("int64")
-        return pd.DataFrame(pairs, columns=["doc_a", "doc_b"])
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out_a: list[int] = []
+        out_b: list[int] = []
+        for _key, group in df.groupby(["band", "bucket"], sort=False):
+            ids = sorted(group["doc_id"].unique())
+            for i, a in enumerate(ids):
+                for b in ids[i + 1 :]:
+                    out_a.append(a)
+                    out_b.append(b)
+        return pd.DataFrame(
+            {"doc_a": pd.Series(out_a, dtype="int64"),
+             "doc_b": pd.Series(out_b, dtype="int64")}
+        )
 
-    candidates = (
-        _docs(sf_dir, ["doc_id", "text"])
-        .map_batches(to_bands, batch_format="pyarrow")
-        .groupby(["band", "bucket"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+    candidates = bucketed_apply(
+        _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            to_bands, batch_format="pyarrow"
+        ),
+        ["band", "bucket"],
+        bucket_pairs,
     )
     # dedup candidate pairs across bands, then verify exact Jaccard with a
     # broadcast shingle table (test scale; partition by doc_a at scale)
-    cand = candidates.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.iloc[:1], batch_format="pandas"
+    cand = bucketed_apply(
+        candidates, ["doc_a", "doc_b"], lambda df: df.drop_duplicates()
     )
     docs_local = _docs(sf_dir, ["doc_id", "text"]).take_all()
     shingle_map = {r["doc_id"]: _shingles(r["text"]) for r in docs_local}
     sm_ref = ray.put(shingle_map)
 
-    class Verify:
-        def __init__(self):
-            self.sm = ray.get(sm_ref)
+    def verify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "doc_a" not in batch.column_names:
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64())})
+        sm = _cached_get(sm_ref)
+        keep = []
+        a_l = batch["doc_a"].to_pylist()
+        b_l = batch["doc_b"].to_pylist()
+        for a, b in zip(a_l, b_l):
+            sa, sb = sm.get(a, set()), sm.get(b, set())
+            union = len(sa | sb)
+            j = (len(sa & sb) / union) if union else 1.0
+            keep.append(j >= jaccard_threshold)
+        return batch.filter(pa.array(keep, pa.bool_()))
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            keep = []
-            a_l = batch["doc_a"].to_pylist()
-            b_l = batch["doc_b"].to_pylist()
-            for a, b in zip(a_l, b_l):
-                sa, sb = self.sm.get(a, set()), self.sm.get(b, set())
-                union = len(sa | sb)
-                j = (len(sa & sb) / union) if union else 1.0
-                keep.append(j >= jaccard_threshold)
-            return batch.filter(pa.array(keep, pa.bool_()))
-
-    return cand.map_batches(
-        Verify, batch_format="pyarrow", concurrency=(1, 4)
-    ).sort(["doc_a", "doc_b"])
+    return cand.map_batches(verify, batch_format="pyarrow").sort(["doc_a", "doc_b"])
 
 
 # ---------------------------------------------------------------------------
@@ -257,34 +269,31 @@ def ann_topk(sf_dir: str, n_queries: int = 8, k: int = 10) -> ray.data.Dataset:
     qn = q / np.linalg.norm(q, axis=1, keepdims=True)
     q_ref = ray.put((q_ids, qn))
 
-    class Score:
-        def __init__(self):
-            self.q_ids, self.qn = ray.get(q_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            vec_ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
-            m = np.stack(
-                [np.asarray(v, dtype=np.float64) for v in batch["embedding"].to_pylist()]
-            )
-            m = m / np.linalg.norm(m, axis=1, keepdims=True)
-            sims = self.qn @ m.T  # (Q, B)
-            out_q, out_v, out_s = [], [], []
-            for qi in range(sims.shape[0]):
-                for bi in range(sims.shape[1]):
-                    if vec_ids[bi] == self.q_ids[qi]:
-                        continue  # exclude self
-                    out_q.append(int(self.q_ids[qi]))
-                    out_v.append(int(vec_ids[bi]))
-                    out_s.append(float(sims[qi, bi]))
-            return pa.table(
-                {
-                    "query_id": pa.array(out_q, pa.int64()),
-                    "vec_id": pa.array(out_v, pa.int64()),
-                    "sim_micro": pa.array(
-                        [int(np.floor(s * 1_000_000)) for s in out_s], pa.int64()
-                    ),
-                }
-            )
+    def score(batch: pa.Table) -> pa.Table:
+        b_q_ids, b_qn = _cached_get(q_ref)
+        vec_ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        m = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in batch["embedding"].to_pylist()]
+        )
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = b_qn @ m.T  # (Q, B)
+        out_q, out_v, out_s = [], [], []
+        for qi in range(sims.shape[0]):
+            for bi in range(sims.shape[1]):
+                if vec_ids[bi] == b_q_ids[qi]:
+                    continue  # exclude self
+                out_q.append(int(b_q_ids[qi]))
+                out_v.append(int(vec_ids[bi]))
+                out_s.append(float(sims[qi, bi]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "sim_micro": pa.array(
+                    [int(np.floor(s * 1_000_000)) for s in out_s], pa.int64()
+                ),
+            }
+        )
 
     def topk(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(
@@ -294,7 +303,7 @@ def ann_topk(sf_dir: str, n_queries: int = 8, k: int = 10) -> ray.data.Dataset:
         g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
         return g[["query_id", "rank", "vec_id", "sim_micro"]]
 
-    scored = _emb(sf_dir).map_batches(Score, batch_format="pyarrow", concurrency=(1, 4))
+    scored = _emb(sf_dir).map_batches(score, batch_format="pyarrow")
     return scored.groupby("query_id").map_groups(topk, batch_format="pandas").sort(
         ["query_id", "rank"]
     )
@@ -308,32 +317,29 @@ def embedding_near_dup(sf_dir: str, threshold: float = 0.95) -> ray.data.Dataset
     n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
     ref = ray.put((ids, n))
 
-    class Pairs:
-        def __init__(self):
-            self.ids, self.n = ray.get(ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            vec_ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
-            m = np.stack(
-                [np.asarray(v, dtype=np.float64) for v in batch["embedding"].to_pylist()]
-            )
-            m = m / np.linalg.norm(m, axis=1, keepdims=True)
-            sims = m @ self.n.T
-            a_l, b_l = [], []
-            for i in range(sims.shape[0]):
-                hits = np.nonzero(sims[i] >= threshold)[0]
-                for h in hits:
-                    a, b = int(vec_ids[i]), int(self.ids[h])
-                    if a < b:
-                        a_l.append(a)
-                        b_l.append(b)
-            return pa.table(
-                {"vec_a": pa.array(a_l, pa.int64()), "vec_b": pa.array(b_l, pa.int64())}
-            )
+    def pairs_fn(batch: pa.Table) -> pa.Table:
+        all_ids, all_n = _cached_get(ref)
+        vec_ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        m = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in batch["embedding"].to_pylist()]
+        )
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m @ all_n.T
+        a_l, b_l = [], []
+        for i in range(sims.shape[0]):
+            hits = np.nonzero(sims[i] >= threshold)[0]
+            for h in hits:
+                a, b = int(vec_ids[i]), int(all_ids[h])
+                if a < b:
+                    a_l.append(a)
+                    b_l.append(b)
+        return pa.table(
+            {"vec_a": pa.array(a_l, pa.int64()), "vec_b": pa.array(b_l, pa.int64())}
+        )
 
     return (
         _emb(sf_dir)
-        .map_batches(Pairs, batch_format="pyarrow", concurrency=(1, 4))
+        .map_batches(pairs_fn, batch_format="pyarrow")
         .sort(["vec_a", "vec_b"])
     )
 
@@ -498,23 +504,20 @@ def events_tumbling(sf_dir: str) -> ray.data.Dataset:
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    def merge(group: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "user_id": [group["user_id"].iloc[0]],
-                "window_hour": [group["window_hour"].iloc[0]],
-                "n_events": [group["n_events"].sum()],
-                "sum_milli": [group["sum_milli"].sum()],
-            }
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["user_id", "window_hour"], as_index=False).agg(
+            n_events=("n_events", "sum"), sum_milli=("sum_milli", "sum")
         )
 
     return (
-        ray.data.read_parquet(
-            f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+        bucketed_apply(
+            ray.data.read_parquet(
+                f"{sf_dir}/events.parquet",
+                columns=["event_id", "ts", "user_id", "value"],
+            ).map_batches(partial, batch_format="pyarrow"),
+            ["user_id", "window_hour"],
+            merge,
         )
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby(["user_id", "window_hour"])
-        .map_groups(merge, batch_format="pandas")
         .sort(["user_id", "window_hour"])
     )
 
@@ -543,13 +546,9 @@ def revenue_by_nation(sf_dir: str) -> ray.data.Dataset:
     order_to_nation = dict(zip(dim["o_orderkey"], dim["n_name"]))
     ref = ray.put(order_to_nation)
 
-    class Join:
-        def __init__(self):
-            self.map = ray.get(ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
+    def join_fn(batch: pa.Table) -> pa.Table:
             df = batch.to_pandas()
-            df["n_name"] = df["l_orderkey"].map(self.map)
+            df["n_name"] = df["l_orderkey"].map(_cached_get(ref))
             df["rev_cents"] = np.floor(
                 df["l_extendedprice"] * (1 - df["l_discount"]) * 100
             ).astype("int64")
@@ -572,7 +571,7 @@ def revenue_by_nation(sf_dir: str) -> ray.data.Dataset:
             f"{sf_dir}/lineitem.parquet",
             columns=["l_orderkey", "l_extendedprice", "l_discount"],
         )
-        .map_batches(Join, batch_format="pyarrow", concurrency=(1, 8))
+        .map_batches(join_fn, batch_format="pyarrow")
         .groupby("n_name")
         .map_groups(merge, batch_format="pandas")
         .sort("n_name")

@@ -68,10 +68,13 @@ def ensure_kg(sf_dir: str) -> dict[str, str]:
 
     records_ds = ray.data.read_parquet(paths["records"])
     member_indices = build_member_indices(records_ds)
-    resolved = strip_internal(
-        resolve_mentions(records_ds, member_indices).filter(
-            expr="rec_type == 'mention'"
-        )
+    mention_cols = ["subj", "pred", "obj", "repo", "ctx_kind", "ctx_name",
+                    "ctx_receiver", "ctx_argc"]
+    resolved = resolve_mentions(
+        strip_internal(
+            records_ds.filter(expr="rec_type == 'mention'").select_columns(mention_cols)
+        ),
+        member_indices,
     ).select_columns(["subj", "pred", "obj", "repo"])
     shutil.rmtree(paths["mentions"], ignore_errors=True)
     resolved.write_parquet(paths["mentions"])
@@ -150,19 +153,14 @@ def q_kg_symbol_kinds(sf_dir: str) -> ray.data.Dataset:
     )
     import pandas as pd
 
-    def count(group: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "language": [group["language"].iloc[0]],
-                "kind": [group["kind"].iloc[0]],
-                "n": [len(group)],
-            }
-        )
+    from codetoneo4j_ray.stages.bucketing import bucketed_apply
+
+    def count(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["language", "kind"], as_index=False).size()
+        return g.rename(columns={"size": "n"})
 
     return (
-        dedup_nodes(symbols)
-        .groupby(["language", "kind"])
-        .map_groups(count, batch_format="pandas")
+        bucketed_apply(dedup_nodes(symbols), ["language", "kind"], count)
         .sort(["language", "kind"])
     )
 

@@ -22,6 +22,7 @@ import pyarrow.parquet as pq
 from codetoneo4j_ray.schema import CORPUS_SCHEMA
 
 _CORPUS_ROOT = os.environ.get("C2N4J_CORPUS_DIR", "/tmp/c2n4j_corpus")
+_GENERATOR_VERSION = 4  # bump to invalidate cached corpora
 
 
 def sf_from_dir(sf_dir: str) -> str:
@@ -36,8 +37,8 @@ def _scale(sf_name: str) -> tuple[int, int]:
         sf = float(sf_name[2:])
     except ValueError:
         sf = 0.01
-    n_repos = max(2, int(round(200 * sf)))
-    filler = max(2, int(round(100 * sf)))
+    n_repos = max(2, int(round(400 * sf)))
+    filler = max(2, int(round(3000 * sf)))
     return n_repos, filler
 
 
@@ -49,12 +50,21 @@ def ensure_corpus(sf_dir: str) -> str:
     """Generate (once) and return the corpus parquet path for a sf dir."""
     out_dir = corpus_dir_for_sf(sf_dir)
     path = os.path.join(out_dir, "corpus.parquet")
-    if not os.path.exists(path):
+    stamp_path = os.path.join(out_dir, "corpus.meta")
+    n_repos, filler = _scale(sf_from_dir(sf_dir))
+    stamp = f"v{_GENERATOR_VERSION}:{n_repos}:{filler}:42"
+    current = None
+    if os.path.exists(stamp_path):
+        with open(stamp_path) as f:
+            current = f.read().strip()
+    if not os.path.exists(path) or current != stamp:
         os.makedirs(out_dir, exist_ok=True)
-        table = generate_corpus(*_scale(sf_from_dir(sf_dir)))
+        table = generate_corpus(n_repos, filler)
         tmp = path + ".tmp"
         pq.write_table(table, tmp)
         os.replace(tmp, path)
+        with open(stamp_path, "w") as f:
+            f.write(stamp)
     return path
 
 
@@ -251,13 +261,25 @@ namespace {ns}.Services
 
     for k in range(filler):
         cls = f"Worker{k}"
-        calls = "\n            ".join(
-            f"Step{j}();" for j in range(min(5, k + 1))
+        n_steps = 4 + (k % 8)
+        calls = "\n            ".join(f"Step{j}(count + {j});" for j in range(n_steps))
+        steps = "\n\n".join(
+            f"""        /// <summary>Step {j} of worker {k}.</summary>
+        private int Step{j}(int input)
+        {{
+            // stage {j} computation
+            var widget = new Widget(input + {j});
+            widget.AddTag("s{j}");
+            _service.Register(widget);
+            return widget.Id;
+        }}"""
+            for j in range(n_steps)
         )
-        steps = "\n".join(
-            f"        private void Step{j}() {{ }}" for j in range(min(5, k + 1))
+        props = "\n".join(
+            f"        public int Metric{j} {{ get; set; }}" for j in range(n_steps)
         )
         add(f"src/{app}/Workers/{cls}.cs", "csharp", f"""using System;
+using System.Collections.Generic;
 using {ns}.Models;
 using {ns}.Services;
 
@@ -267,7 +289,9 @@ namespace {ns}.Workers
     public class {cls}
     {{
         private readonly WidgetService _service = new WidgetService();
+        private readonly List<Widget> _seen = new();
         public int Batch {{ get; set; }}
+{props}
 
         public void Run(int count)
         {{

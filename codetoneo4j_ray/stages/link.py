@@ -93,52 +93,62 @@ def build_member_indices(records: ray.data.Dataset) -> dict[str, MemberIndex]:
 # ---------------------------------------------------------------------------
 
 
-class ResolveMentions:
-    """Actor: fills ``obj`` for deferred mentions; passes keyed ones through.
+# Worker-local cache for broadcast objects: map_batches *tasks* reuse the
+# already-warm worker pool (no actor spin-up); the first task per worker
+# pays one zero-copy local-object-store ray.get, later tasks hit the dict.
+_BROADCAST_CACHE: dict = {}
+
+
+def _cached_get(ref):
+    obj = _BROADCAST_CACHE.get(ref)
+    if obj is None:
+        obj = ray.get(ref)
+        _BROADCAST_CACHE[ref] = obj
+    return obj
+
+
+def _resolve_batch(batch: pa.Table, index_ref=None) -> pa.Table:
+    """Fills ``obj`` for deferred mentions; passes keyed ones through.
 
     Unresolved call targets keep an approximate ``repo:{recv}.{name}(~n)``
     key — present in raw mentions (like Roslyn's external-method keys),
     never matching a declared symbol, hence dropped by step B, exactly as
     the reference's dangling refs are dropped by MergeRelationships.
     """
-
-    def __init__(self, index_ref):
-        self.indices: dict[str, MemberIndex] = ray.get(index_ref)
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        mask = pc.not_equal(batch["ctx_kind"], pa.scalar(""))
-        if not pc.any(mask).as_py():
-            return batch
-        objs = batch["obj"].to_pylist()
-        repos = batch["repo"].to_pylist()
-        kinds = batch["ctx_kind"].to_pylist()
-        names = batch["ctx_name"].to_pylist()
-        recvs = batch["ctx_receiver"].to_pylist()
-        argcs = batch["ctx_argc"].to_pylist()
-        for i, kind in enumerate(kinds):
-            if not kind or kind == "member":
-                continue
-            idx = self.indices.get(repos[i])
-            repo_key = repos[i].lower()
-            recv, name, argc = recvs[i], names[i], int(argcs[i])
-            key = None
-            if idx is not None:
-                if kind == "ctor":
-                    key = idx.lookup(recv, ".ctor", argc)
-                elif kind == "call_base":
-                    key = idx.lookup(recv, name, argc, skip_self=True)
-                else:
-                    key = idx.lookup(recv, name, argc)
-            if key is None:
-                if kind == "ctor":
-                    simple = recv.rsplit(".", 1)[-1].split("<", 1)[0]
-                    key = f"{repo_key}:{recv}.{simple}(~{argc})"
-                else:
-                    key = f"{repo_key}:{recv}.{name}(~{argc})"
-            objs[i] = key
-        return batch.set_column(
-            batch.schema.get_field_index("obj"), "obj", pa.array(objs, pa.string())
-        )
+    mask = pc.not_equal(batch["ctx_kind"], pa.scalar(""))
+    if not pc.any(mask).as_py():
+        return batch
+    indices: dict[str, MemberIndex] = _cached_get(index_ref)
+    objs = batch["obj"].to_pylist()
+    repos = batch["repo"].to_pylist()
+    kinds = batch["ctx_kind"].to_pylist()
+    names = batch["ctx_name"].to_pylist()
+    recvs = batch["ctx_receiver"].to_pylist()
+    argcs = batch["ctx_argc"].to_pylist()
+    for i, kind in enumerate(kinds):
+        if not kind or kind == "member":
+            continue
+        idx = indices.get(repos[i])
+        repo_key = repos[i].lower()
+        recv, name, argc = recvs[i], names[i], int(argcs[i])
+        key = None
+        if idx is not None:
+            if kind == "ctor":
+                key = idx.lookup(recv, ".ctor", argc)
+            elif kind == "call_base":
+                key = idx.lookup(recv, name, argc, skip_self=True)
+            else:
+                key = idx.lookup(recv, name, argc)
+        if key is None:
+            if kind == "ctor":
+                simple = recv.rsplit(".", 1)[-1].split("<", 1)[0]
+                key = f"{repo_key}:{recv}.{simple}(~{argc})"
+            else:
+                key = f"{repo_key}:{recv}.{name}(~{argc})"
+        objs[i] = key
+    return batch.set_column(
+        batch.schema.get_field_index("obj"), "obj", pa.array(objs, pa.string())
+    )
 
 
 def resolve_mentions(
@@ -146,13 +156,12 @@ def resolve_mentions(
     member_indices: dict[str, MemberIndex],
     concurrency=None,
 ) -> ray.data.Dataset:
+    import functools
+
     index_ref = ray.put(member_indices)
-    kwargs = {"concurrency": concurrency if concurrency is not None else (1, 8)}
     return records.map_batches(
-        ResolveMentions,
-        fn_constructor_kwargs={"index_ref": index_ref},
+        functools.partial(_resolve_batch, index_ref=index_ref),
         batch_format="pyarrow",
-        **kwargs,
     )
 
 
@@ -161,15 +170,12 @@ def resolve_mentions(
 # ---------------------------------------------------------------------------
 
 
-class _EndpointFilter:
-    def __init__(self, keys_ref):
-        self.keys: set[str] = ray.get(keys_ref)
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        subj = batch["subj"].to_pylist()
-        obj = batch["obj"].to_pylist()
-        keep = [s in self.keys and o in self.keys for s, o in zip(subj, obj)]
-        return batch.filter(pa.array(keep, pa.bool_()))
+def _endpoint_filter_batch(batch: pa.Table, keys_ref=None) -> pa.Table:
+    keys: set[str] = _cached_get(keys_ref)
+    subj = batch["subj"].to_pylist()
+    obj = batch["obj"].to_pylist()
+    keep = [s in keys and o in keys for s, o in zip(subj, obj)]
+    return batch.filter(pa.array(keep, pa.bool_()))
 
 
 def resolve_edges_broadcast(
@@ -179,13 +185,12 @@ def resolve_edges_broadcast(
 ) -> ray.data.Dataset:
     """Inner-join both endpoints against the declared-symbol key set,
     broadcast once via ``ray.put`` and probed per batch (no shuffle)."""
+    import functools
+
     keys_ref = ray.put(symbol_keys)
-    kwargs = {"concurrency": concurrency if concurrency is not None else (1, 8)}
     return mentions.map_batches(
-        _EndpointFilter,
-        fn_constructor_kwargs={"keys_ref": keys_ref},
+        functools.partial(_endpoint_filter_batch, keys_ref=keys_ref),
         batch_format="pyarrow",
-        **kwargs,
     )
 
 
@@ -194,86 +199,64 @@ def resolve_edges_partitioned(
     symbols: ray.data.Dataset,
     num_buckets: int = 64,
 ) -> ray.data.Dataset:
-    """Scale path: explicit hash-partitioned semi-join.
+    """Scale path: explicit hash-partitioned semi-join for when the
+    declared-key set no longer fits a broadcast.
 
-    Each mention is probed twice (once per endpoint); a mention survives
-    only if both probes hit. Implementation: explode mentions into
-    (probe_key, side) rows, bucket both streams by hash(probe_key),
-    mark hits per bucket with a pandas merge, then regroup by mention id
-    requiring 2 hits. All-to-all traffic is keys + row ids, not content.
+    Each mention is exploded into two probe rows (one per endpoint);
+    probes and declared keys are hash-bucketed on the probed key and each
+    bucket joins vectorized; a mention survives only if BOTH its probes
+    hit. All-to-all traffic is keys + mention rows — never file content.
+    NOTE: unlike the broadcast path this dedups mentions (each survivor
+    emitted once), which is fine for the resolved-edge set because
+    distinct_triples follows anyway.
     """
-    import pandas as pd
+    from codetoneo4j_ray.stages.bucketing import bucketed_apply
 
     def explode(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
         subj = batch["subj"].to_pylist()
-        obj = batch["obj"].to_pylist()
         pred = batch["pred"].to_pylist()
-        rows = {"probe": [], "mid": [], "subj": [], "pred": [], "obj": []}
-        for i in range(n):
-            mid = f"{subj[i]}\x00{pred[i]}\x00{obj[i]}"
-            for probe in (subj[i], obj[i]):
+        obj = batch["obj"].to_pylist()
+        rows = {"probe": [], "subj": [], "pred": [], "obj": [], "side": []}
+        for s, p, o in zip(subj, pred, obj):
+            for endpoint, probe in (("ms", s), ("mo", o)):
                 rows["probe"].append(probe)
-                rows["mid"].append(mid)
-                rows["subj"].append(subj[i])
-                rows["pred"].append(pred[i])
-                rows["obj"].append(obj[i])
-        t = pa.table(
-            {k: pa.array(v, pa.string()) for k, v in rows.items()}
-        )
-        bucket = pa.array(
-            [_stable_hash(p) % num_buckets for p in rows["probe"]], pa.int32()
-        )
-        return t.append_column("bucket", bucket)
+                rows["subj"].append(s)
+                rows["pred"].append(p)
+                rows["obj"].append(o)
+                rows["side"].append(endpoint)
+        return pa.table({k: pa.array(v, pa.string()) for k, v in rows.items()})
 
     def keys_side(batch: pa.Table) -> pa.Table:
         keys = batch["key"].to_pylist()
-        t = pa.table({"probe": pa.array(keys, pa.string())})
-        bucket = pa.array([_stable_hash(k) % num_buckets for k in keys], pa.int32())
-        return t.append_column("bucket", bucket)
-
-    probes = mentions.map_batches(explode, batch_format="pyarrow")
-    keyset = symbols.map_batches(keys_side, batch_format="pyarrow")
-
-    def join_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        have = set(group.loc[group["side"] == "k", "probe"])
-        m = group[group["side"] == "m"]
-        hit = m[m["probe"].isin(have)]
-        return hit[["mid", "subj", "pred", "obj"]]
-
-    probes = probes.map_batches(
-        lambda t: t.append_column("side", pa.array(["m"] * t.num_rows)),
-        batch_format="pyarrow",
-    )
-    keyset = keyset.map_batches(
-        lambda t: pa.table(
+        n = len(keys)
+        return pa.table(
             {
-                "probe": t["probe"],
-                "mid": pa.nulls(t.num_rows, pa.string()),
-                "subj": pa.nulls(t.num_rows, pa.string()),
-                "pred": pa.nulls(t.num_rows, pa.string()),
-                "obj": pa.nulls(t.num_rows, pa.string()),
-                "bucket": t["bucket"],
-                "side": pa.array(["k"] * t.num_rows),
+                "probe": pa.array(keys, pa.string()),
+                "subj": pa.nulls(n, pa.string()),
+                "pred": pa.nulls(n, pa.string()),
+                "obj": pa.nulls(n, pa.string()),
+                "side": pa.array(["k"] * n, pa.string()),
             }
-        ),
-        batch_format="pyarrow",
+        )
+
+    both = mentions.map_batches(explode, batch_format="pyarrow").union(
+        symbols.select_columns(["key"]).map_batches(keys_side, batch_format="pyarrow")
     )
-    both = probes.union(keyset)
-    hits = both.groupby("bucket").map_groups(join_bucket, batch_format="pandas")
 
-    def count_two(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) >= 2:
-            return group.iloc[:1][["subj", "pred", "obj"]]
-        return group.iloc[0:0][["subj", "pred", "obj"]]
+    def join_bucket(df):
+        have = set(df.loc[df["side"] == "k", "probe"].drop_duplicates())
+        m = df[df["side"] != "k"]
+        hit = m[m["probe"].isin(have)]
+        return hit[["subj", "pred", "obj", "side"]].drop_duplicates()
 
-    return hits.groupby("mid").map_groups(count_two, batch_format="pandas")
+    hits = bucketed_apply(both, ["probe"], join_bucket, num_buckets)
 
+    def both_endpoints(df):
+        g = df.groupby(["subj", "pred", "obj"], sort=False)["side"].nunique()
+        g = g.reset_index(name="n")
+        return g.loc[g["n"] >= 2, ["subj", "pred", "obj"]]
 
-def _stable_hash(s: str) -> int:
-    import zlib
-
-    return zlib.crc32(s.encode("utf-8"))
+    return bucketed_apply(hits, ["subj", "pred", "obj"], both_endpoints, num_buckets)
 
 
 def strip_internal(records: ray.data.Dataset) -> ray.data.Dataset:

@@ -1,0 +1,50 @@
+"""Broadcast vs hash-partitioned endpoint semi-join equivalence."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _ray(ray_session):
+    yield
+
+
+def test_partitioned_join_matches_broadcast():
+    import ray.data
+
+    from codetoneo4j_ray.stages.link import (
+        resolve_edges_broadcast,
+        resolve_edges_partitioned,
+    )
+
+    keys = [f"k{i}" for i in range(50)]
+    mentions = []
+    for i in range(200):
+        s = f"k{i % 60}"          # some subjects dangle (k50..k59)
+        o = f"k{(i * 7) % 70}"    # some objects dangle
+        mentions.append((s, "src__INVOKES", o))
+    mentions.append(("k1", "src__CONTAINS", "k1"))   # self-loop
+    mentions.append(("k2", "src__CONTAINS", "k51"))  # subj ok, obj dangling
+    mentions.append(("k2", "src__CONTAINS", "k51"))  # duplicate of the above
+
+    m_ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "subj": pa.array([m[0] for m in mentions]),
+                "pred": pa.array([m[1] for m in mentions]),
+                "obj": pa.array([m[2] for m in mentions]),
+            }
+        )
+    )
+    s_ds = ray.data.from_arrow(pa.table({"key": pa.array(keys)}))
+
+    broadcast = resolve_edges_broadcast(m_ds, set(keys)).to_pandas()
+    partitioned = resolve_edges_partitioned(m_ds, s_ds, num_buckets=8).to_pandas()
+
+    b = set(map(tuple, broadcast[["subj", "pred", "obj"]].drop_duplicates().values))
+    p = set(map(tuple, partitioned[["subj", "pred", "obj"]].values))
+    assert b == p
+    assert ("k1", "src__CONTAINS", "k1") in p
+    assert not any(o == "k51" for _s, _p2, o in p)
