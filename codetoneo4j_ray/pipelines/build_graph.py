@@ -57,24 +57,41 @@ def extract_to_records(
     )
 
 
-def graph_from_records(records: ray.data.Dataset) -> dict[str, ray.data.Dataset]:
+def read_records(records_dir: str, rec_type: str | None = None) -> ray.data.Dataset:
+    """Read the (hive-partitioned by rec_type) records checkpoint.
+
+    ``rec_type=...`` reads only that partition's files — the row-group
+    pruning that lets the files/symbols stages skip the mention bulk."""
+    if rec_type is None:
+        return ray.data.read_parquet(records_dir)
+    return ray.data.read_parquet(f"{records_dir}/rec_type={rec_type}")
+
+
+def graph_from_records(
+    records: ray.data.Dataset | None = None, records_dir: str | None = None
+) -> dict[str, ray.data.Dataset]:
     """Stages 2–4 from a (re-readable) record stream.
 
-    ``records`` must be backed by storage or materialized — it is
-    consumed several times (member index, symbols, mentions, files).
+    Pass ``records_dir`` (hive-partitioned checkpoint) for partition-
+    pruned reads, or an in-memory/materialized ``records`` dataset.
     Returns lazy datasets: nodes, edges, files, mentions_raw.
     """
-    member_indices = build_member_indices(records)
-
-    symbols = records.filter(expr="rec_type == 'symbol'")
-    files = records.filter(expr="rec_type == 'file'")
-    # narrow the mention stream before the resolve/join stages — only the
-    # resolution context columns travel, never the symbol payload
     mention_cols = ["subj", "pred", "obj", "repo", "ctx_kind", "ctx_name",
                     "ctx_receiver", "ctx_argc"]
-    mentions = strip_internal(
-        records.filter(expr="rec_type == 'mention'").select_columns(mention_cols)
-    )
+    if records_dir is not None:
+        records = read_records(records_dir)  # structural edges need all types
+        symbols = read_records(records_dir, "symbol")
+        files = read_records(records_dir, "file")
+        raw_mentions = read_records(records_dir, "mention")
+    else:
+        symbols = records.filter(expr="rec_type == 'symbol'")
+        files = records.filter(expr="rec_type == 'file'")
+        raw_mentions = records.filter(expr="rec_type == 'mention'")
+    member_indices = build_member_indices(raw_mentions)
+
+    # narrow the mention stream before the resolve/join stages — only the
+    # resolution context columns travel, never the symbol payload
+    mentions = strip_internal(raw_mentions.select_columns(mention_cols))
     resolved = resolve_mentions(mentions, member_indices)
 
     # declared-symbol key set (metadata): broadcast for the endpoint join
@@ -84,13 +101,17 @@ def graph_from_records(records: ray.data.Dataset) -> dict[str, ray.data.Dataset]
     sym_edges = resolve_edges_broadcast(
         resolved.select_columns(["subj", "pred", "obj"]), symbol_keys
     )
+    from codetoneo4j_ray.stages.bucketing import coalesce
+
     edges = distinct_triples(sym_edges.union(structural_edges(records)))
     nodes = finalize_nodes(dedup_nodes(symbols))
     files_out = finalize_files(dedup_files(files))
+    # coalesce before the final sorts: Ray's sort-based exchange is
+    # O(blocks²) in tasks and these streams arrive heavily fragmented
     return {
-        "nodes": nodes.sort("key"),
-        "edges": edges.sort(["subj", "pred", "obj"]),
-        "files": files_out.sort("key"),
+        "nodes": coalesce(nodes).sort("key"),
+        "edges": coalesce(edges).sort(["subj", "pred", "obj"]),
+        "files": coalesce(files_out).sort("key"),
         "mentions_raw": resolved,
     }
 
@@ -110,14 +131,17 @@ def build_graph(
     import shutil
 
     if not (resume and stage_is_complete(out_dir, "records", fp)):
+        from codetoneo4j_ray.stages.bucketing import coalesce
+
         shutil.rmtree(records_dir, ignore_errors=True)
         corpus = read_corpus(input_path)
         records = extract_to_records(corpus, min_accessibility, concurrency)
-        records.write_parquet(records_dir)
+        # hive-partition the checkpoint by rec_type (partition-pruned
+        # reads downstream) and coalesce first so files stay chunky
+        coalesce(records).write_parquet(records_dir, partition_cols=["rec_type"])
         write_manifest(out_dir, "records", fp, {"rows": _parquet_rows(records_dir)})
 
-    records = ray.data.read_parquet(records_dir)
-    outputs = graph_from_records(records)
+    outputs = graph_from_records(records_dir=records_dir)
     metrics: dict = {}
     for name in ("nodes", "edges", "files"):
         path = f"{out_dir}/{name}"

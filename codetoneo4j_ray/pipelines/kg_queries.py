@@ -24,8 +24,9 @@ import ray.data
 
 from codetoneo4j_ray.extractors.csharp.extractor import BASE_PRED, MEMBER_PRED
 from codetoneo4j_ray.functions.tags import parse_namespace_tags
-from codetoneo4j_ray.pipelines.build_graph import extract_to_records, read_corpus
+from codetoneo4j_ray.pipelines.build_graph import extract_to_records, read_corpus, read_records
 from codetoneo4j_ray.sources.synth import corpus_dir_for_sf, ensure_corpus
+from codetoneo4j_ray.stages.bucketing import coalesce
 from codetoneo4j_ray.stages.canonicalize import dedup_files, dedup_nodes, distinct_triples
 from codetoneo4j_ray.stages.link import (
     build_member_indices,
@@ -40,7 +41,7 @@ from codetoneo4j_ray.stages.materialize import (
 )
 from codetoneo4j_ray.state.manifest import corpus_fingerprint, stage_is_complete, write_manifest
 
-_KG_CONFIG = {"min_accessibility": "Private", "kg_cache_v": 4}
+_KG_CONFIG = {"min_accessibility": "Private", "kg_cache_v": 5}
 
 
 def kg_paths(sf_dir: str) -> dict[str, str]:
@@ -64,16 +65,15 @@ def ensure_kg(sf_dir: str) -> dict[str, str]:
     corpus = read_corpus(corpus_path)
     records = extract_to_records(corpus)
     shutil.rmtree(paths["records"], ignore_errors=True)
-    records.write_parquet(paths["records"])
+    coalesce(records).write_parquet(paths["records"], partition_cols=["rec_type"])
 
-    records_ds = ray.data.read_parquet(paths["records"])
-    member_indices = build_member_indices(records_ds)
+    records_ds = read_records(paths["records"])
+    member_indices = build_member_indices(read_records(paths["records"], "mention"))
     mention_cols = ["subj", "pred", "obj", "repo", "ctx_kind", "ctx_name",
                     "ctx_receiver", "ctx_argc"]
+    raw_mentions = read_records(paths["records"], "mention")
     resolved = resolve_mentions(
-        strip_internal(
-            records_ds.filter(expr="rec_type == 'mention'").select_columns(mention_cols)
-        ),
+        strip_internal(raw_mentions.select_columns(mention_cols)),
         member_indices,
     ).select_columns(["subj", "pred", "obj", "repo"])
     shutil.rmtree(paths["mentions"], ignore_errors=True)
@@ -82,7 +82,7 @@ def ensure_kg(sf_dir: str) -> dict[str, str]:
     # namespace → tag side table so the oracle can join instead of
     # reimplementing the PascalCase splitter in SQL
     ns_rows = (
-        records_ds.filter(expr="rec_type == 'symbol'")
+        read_records(paths["records"], "symbol")
         .select_columns(["namespace"])
         .take_all()
     )
@@ -118,31 +118,27 @@ _NODE_COLS = [
 
 def q_kg_nodes(sf_dir: str) -> ray.data.Dataset:
     paths = ensure_kg(sf_dir)
-    symbols = ray.data.read_parquet(paths["records"]).filter(
-        expr="rec_type == 'symbol'"
-    )
-    return finalize_nodes(dedup_nodes(symbols)).sort("key")
+    symbols = read_records(paths["records"], "symbol")
+    return coalesce(finalize_nodes(dedup_nodes(symbols))).sort("key")
 
 
 def q_kg_edges(sf_dir: str) -> ray.data.Dataset:
     paths = ensure_kg(sf_dir)
-    records = ray.data.read_parquet(paths["records"])
+    records = read_records(paths["records"])
     mentions = ray.data.read_parquet(paths["mentions"]).select_columns(
         ["subj", "pred", "obj"]
     )
-    symbols = records.filter(expr="rec_type == 'symbol'")
+    symbols = read_records(paths["records"], "symbol")
     symbol_keys = {r["key"] for r in symbols.select_columns(["key"]).take_all()}
     sym_edges = resolve_edges_broadcast(mentions, symbol_keys)
     edges = distinct_triples(sym_edges.union(structural_edges(records)))
-    return edges.sort(["subj", "pred", "obj"])
+    return coalesce(edges).sort(["subj", "pred", "obj"])
 
 
 def q_kg_files(sf_dir: str) -> ray.data.Dataset:
     paths = ensure_kg(sf_dir)
-    files = ray.data.read_parquet(paths["records"]).filter(
-        expr="rec_type == 'file'"
-    )
-    return finalize_files(dedup_files(files)).sort("key")
+    files = read_records(paths["records"], "file")
+    return coalesce(finalize_files(dedup_files(files))).sort("key")
 
 
 def q_kg_symbol_kinds(sf_dir: str) -> ray.data.Dataset:
@@ -184,9 +180,13 @@ def _p(path: str) -> str:
     return f"read_parquet('{path}/*.parquet')"
 
 
+def _p_hive(path: str) -> str:
+    return f"read_parquet('{path}/*/*.parquet', hive_partitioning=1)"
+
+
 def oracle_kg(sf_dir: str) -> dict[str, str]:
     paths = kg_paths(sf_dir)
-    records = _p(paths["records"])
+    records = _p_hive(paths["records"])
     mentions = _p(paths["mentions"])
     corpus = f"read_parquet('{paths['corpus']}')"
     tags_map = f"read_parquet('{paths['tags_map']}')"

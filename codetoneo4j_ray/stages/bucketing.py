@@ -21,6 +21,26 @@ import ray.data
 DEFAULT_BUCKETS = 64
 
 
+def target_blocks() -> int:
+    """Sensible block count for all-to-all ops: ~2× cluster CPUs.
+
+    Ray's sort-based exchanges scale O(blocks²) in task count; feeding
+    them hundreds of tiny blocks dominates wall time at small scale.
+    """
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:  # noqa: BLE001
+        cpus = 8
+    return max(8, min(256, cpus * 2))
+
+
+def coalesce(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Repartition down to target_blocks() when the dataset is fragmented."""
+    return ds.repartition(target_blocks())
+
+
 def _crc_bucket(values, num_buckets: int) -> pa.Array:
     return pa.array(
         [zlib.crc32(v.encode("utf-8")) % num_buckets if v is not None else 0
@@ -60,7 +80,7 @@ def bucketed_apply(
         return out
 
     return (
-        add_bucket_column(ds, key_cols, num_buckets)
+        coalesce(add_bucket_column(ds, key_cols, num_buckets))
         .groupby("__bucket")
         .map_groups(apply, batch_format="pandas")
     )

@@ -55,6 +55,11 @@ def _split_dedup(
     """
     import ray
 
+    # the input is consumed three times (dup detection, unique pass,
+    # dup pass) — pin it once; post-combine data is output-sized and the
+    # object store spills if it outgrows memory
+    ds = ds.materialize()
+
     def key_only(batch: pa.Table) -> pa.Table:
         return batch.select([key])
 
