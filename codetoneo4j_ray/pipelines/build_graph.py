@@ -42,7 +42,13 @@ CORPUS_COLUMNS = ["repo", "path", "commit", "lang", "content"]
 
 
 def read_corpus(input_path: str) -> ray.data.Dataset:
-    return ray.data.read_parquet(input_path, columns=CORPUS_COLUMNS)
+    from codetoneo4j_ray.stages.bucketing import target_blocks
+
+    # bound block count up front: every downstream op inherits it, and
+    # Ray's all-to-all exchanges degrade quadratically with block count
+    return ray.data.read_parquet(
+        input_path, columns=CORPUS_COLUMNS, override_num_blocks=target_blocks()
+    )
 
 
 def extract_to_records(
@@ -95,8 +101,7 @@ def graph_from_records(
     resolved = resolve_mentions(mentions, member_indices)
 
     # declared-symbol key set (metadata): broadcast for the endpoint join
-    key_rows = symbols.select_columns(["key"]).take_all()
-    symbol_keys = {r["key"] for r in key_rows}
+    symbol_keys = set(symbols.select_columns(["key"]).to_pandas()["key"])
 
     sym_edges = resolve_edges_broadcast(
         resolved.select_columns(["subj", "pred", "obj"]), symbol_keys
@@ -131,25 +136,62 @@ def build_graph(
     import shutil
 
     if not (resume and stage_is_complete(out_dir, "records", fp)):
-        from codetoneo4j_ray.stages.bucketing import coalesce
-
         shutil.rmtree(records_dir, ignore_errors=True)
         corpus = read_corpus(input_path)
         records = extract_to_records(corpus, min_accessibility, concurrency)
         # hive-partition the checkpoint by rec_type (partition-pruned
-        # reads downstream) and coalesce first so files stay chunky
-        coalesce(records).write_parquet(records_dir, partition_cols=["rec_type"])
+        # reads downstream); block count already bounded at the read
+        records.write_parquet(records_dir, partition_cols=["rec_type"])
         write_manifest(out_dir, "records", fp, {"rows": _parquet_rows(records_dir)})
 
+    # Stages 2–4: build the three output pipelines, then run their
+    # writes concurrently (they are independent; the streaming executor
+    # interleaves instead of paying three sequential ramps).
+    from concurrent.futures import ThreadPoolExecutor
+
+    _stub_fsspec_http()
     outputs = graph_from_records(records_dir=records_dir)
     metrics: dict = {}
-    for name in ("nodes", "edges", "files"):
+
+    def write_one(name: str) -> tuple[str, int]:
         path = f"{out_dir}/{name}"
         shutil.rmtree(path, ignore_errors=True)
         outputs[name].write_parquet(path)
-        metrics[name] = _parquet_rows(path)
+        return name, _parquet_rows(path)
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        for name, rows in pool.map(write_one, ("nodes", "edges", "files")):
+            metrics[name] = rows
     write_manifest(out_dir, "graph", fp, metrics)
     return metrics
+
+
+def _stub_fsspec_http() -> None:
+    """Make fsspec.implementations.http importable for concurrent writers.
+
+    Ray's write path lazily imports it per call; in this environment the
+    real module fails (no aiohttp) and two threads importing at once can
+    leave a half-initialized module cached, raising ImportError past
+    Ray's ModuleNotFoundError guard. A stub HTTPFileSystem (only ever
+    used in isinstance checks, which correctly return False) removes the
+    race."""
+    import sys
+    import types
+
+    try:
+        from fsspec.implementations.http import HTTPFileSystem  # noqa: F401
+
+        return
+    except ImportError:
+        pass
+    sys.modules.pop("fsspec.implementations.http", None)
+    mod = types.ModuleType("fsspec.implementations.http")
+
+    class HTTPFileSystem:  # noqa: N801 — name must match the real class
+        pass
+
+    mod.HTTPFileSystem = HTTPFileSystem
+    sys.modules["fsspec.implementations.http"] = mod
 
 
 def _parquet_rows(path: str) -> int:

@@ -129,7 +129,7 @@ def q_kg_edges(sf_dir: str) -> ray.data.Dataset:
         ["subj", "pred", "obj"]
     )
     symbols = read_records(paths["records"], "symbol")
-    symbol_keys = {r["key"] for r in symbols.select_columns(["key"]).take_all()}
+    symbol_keys = set(symbols.select_columns(["key"]).to_pandas()["key"])
     sym_edges = resolve_edges_broadcast(mentions, symbol_keys)
     edges = distinct_triples(sym_edges.union(structural_edges(records)))
     return coalesce(edges).sort(["subj", "pred", "obj"])

@@ -68,7 +68,7 @@ def _split_dedup(
         [key],
         lambda df: df[df[key].duplicated(keep="first")].drop_duplicates(),
     )
-    dup_keys = {r[key] for r in dup_keys_ds.take_all()}
+    dup_keys = set(dup_keys_ds.to_pandas()[key])
     if not dup_keys:
         return ds
     dup_ref = ray.put(dup_keys)

@@ -125,20 +125,35 @@ def build_type_index(corpus: ray.data.Dataset) -> dict[str, RepoTypeIndex]:
     using); ``take_all`` here is bounded and intentional. At 10^12-file
     scale this would stay a Dataset hash-partitioned by repo.
     """
-    idx_ds = corpus.map_batches(skim_batch, batch_format="pyarrow")
-    rows = idx_ds.take_all()
-    by_repo_types: dict[str, list[dict]] = {}
-    by_repo_usings: dict[str, list[dict]] = {}
-    for r in rows:
-        if r["rec_type"] == "type":
-            by_repo_types.setdefault(r["repo"], []).append(r)
-        else:
-            by_repo_usings.setdefault(r["repo"], []).append(r)
+    from codetoneo4j_ray.extractors.csharp.types import TypeInfo
+
+    df = corpus.map_batches(skim_batch, batch_format="pyarrow").to_pandas()
     out: dict[str, RepoTypeIndex] = {}
-    for repo in set(by_repo_types) | set(by_repo_usings):
-        out[repo] = build_repo_index(
-            by_repo_types.get(repo, []), by_repo_usings.get(repo, [])
-        )
+
+    def get(repo: str) -> RepoTypeIndex:
+        idx = out.get(repo)
+        if idx is None:
+            idx = out[repo] = RepoTypeIndex()
+        return idx
+
+    tmask = (df["rec_type"] == "type").to_numpy()
+    for is_type, repo, full, arity, isval, kind, bases, tparams, fk, text in zip(
+        tmask, df["repo"].to_numpy(), df["full_name"].to_numpy(),
+        df["arity"].to_numpy(), df["is_value"].to_numpy(),
+        df["kind"].to_numpy(), df["bases"].to_numpy(),
+        df["type_params"].to_numpy(), df["file_key"].to_numpy(),
+        df["text"].to_numpy(),
+    ):
+        if is_type:
+            get(repo).add_type(
+                TypeInfo(
+                    full, int(arity), bool(isval), kind,
+                    tuple(b for b in bases.split(";") if b),
+                    tuple(p for p in tparams.split(";") if p),
+                )
+            )
+        else:
+            get(repo).global_usings.append((fk, text))
     return out
 
 

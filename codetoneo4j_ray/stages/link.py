@@ -69,22 +69,27 @@ class MemberIndex:
 
 def build_member_indices(records: ray.data.Dataset) -> dict[str, MemberIndex]:
     """Collect the internal __MEMBER__/__BASE__ rows (metadata-sized)."""
-    rows = (
+    df = (
         records.filter(
             expr=f"pred == '{MEMBER_PRED}' or pred == '{BASE_PRED}'"
         )
         .select_columns(["repo", "pred", "subj", "obj", "ctx_name", "ctx_argc"])
-        .take_all()
+        .to_pandas()
     )
     out: dict[str, MemberIndex] = {}
-    for r in rows:
-        idx = out.setdefault(r["repo"], MemberIndex())
-        if r["pred"] == MEMBER_PRED:
-            idx.members[(r["subj"], r["ctx_name"])].append(
-                (int(r["ctx_argc"]), r["obj"])
-            )
+    is_member = (df["pred"] == MEMBER_PRED).to_numpy()
+    for repo, pred_m, subj, obj, name, argc in zip(
+        df["repo"].to_numpy(), is_member, df["subj"].to_numpy(),
+        df["obj"].to_numpy(), df["ctx_name"].to_numpy(),
+        df["ctx_argc"].to_numpy(),
+    ):
+        idx = out.get(repo)
+        if idx is None:
+            idx = out[repo] = MemberIndex()
+        if pred_m:
+            idx.members[(subj, name)].append((int(argc), obj))
         else:
-            idx.bases[r["subj"]].append(r["obj"])
+            idx.bases[subj].append(obj)
     return out
 
 
