@@ -101,7 +101,8 @@ def graph_from_records(
     resolved = resolve_mentions(mentions, member_indices)
 
     # declared-symbol key set (metadata): broadcast for the endpoint join
-    symbol_keys = set(symbols.select_columns(["key"]).to_pandas()["key"])
+    keys_df = symbols.select_columns(["key"]).to_pandas()
+    symbol_keys = set(keys_df["key"]) if "key" in keys_df.columns else set()
 
     sym_edges = resolve_edges_broadcast(
         resolved.select_columns(["subj", "pred", "obj"]), symbol_keys

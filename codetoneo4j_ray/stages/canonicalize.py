@@ -68,7 +68,8 @@ def _split_dedup(
         [key],
         lambda df: df[df[key].duplicated(keep="first")].drop_duplicates(),
     )
-    dup_keys = set(dup_keys_ds.to_pandas()[key])
+    dup_df = dup_keys_ds.to_pandas()
+    dup_keys = set(dup_df[key]) if key in dup_df.columns else set()
     if not dup_keys:
         return ds
     dup_ref = ray.put(dup_keys)

@@ -129,6 +129,8 @@ def build_type_index(corpus: ray.data.Dataset) -> dict[str, RepoTypeIndex]:
 
     df = corpus.map_batches(skim_batch, batch_format="pyarrow").to_pandas()
     out: dict[str, RepoTypeIndex] = {}
+    if len(df) == 0:
+        return out
 
     def get(repo: str) -> RepoTypeIndex:
         idx = out.get(repo)

@@ -77,6 +77,8 @@ def build_member_indices(records: ray.data.Dataset) -> dict[str, MemberIndex]:
         .to_pandas()
     )
     out: dict[str, MemberIndex] = {}
+    if len(df) == 0:
+        return out
     is_member = (df["pred"] == MEMBER_PRED).to_numpy()
     for repo, pred_m, subj, obj, name, argc in zip(
         df["repo"].to_numpy(), is_member, df["subj"].to_numpy(),
