@@ -65,8 +65,9 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     timings: dict[str, float] = {}
     extras: dict = {}
 
+    mode = os.environ.get("GRAFT_KG_MODE", "broadcast")
     t0 = time.perf_counter()
-    metrics = build_graph(corpus_path, out_dir, resume=False,
+    metrics = build_graph(corpus_path, out_dir, resume=False, mode=mode,
                           concurrency=(max(1, num_cpus // 2), num_cpus))
     timings["kg_build"] = round(time.perf_counter() - t0, 3)
     extras["kg_nodes"] = metrics["nodes"]
@@ -74,7 +75,11 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     extras["kg_files"] = metrics["files"]
     extras["kg_files_per_sec"] = round(metrics["files"] / timings["kg_build"], 1)
 
+    only_kg = os.environ.get("GRAFT_BENCH_ONLY") == "kg"
+
     def timed(name, fn):
+        if only_kg:
+            return 0
         t = time.perf_counter()
         ds = fn(sf_dir)
         n = ds.count()
@@ -112,7 +117,11 @@ def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
     ensure_corpus(sf_dir)
 
     def one(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir)
+        # scaling runs use the multi-node (partitioned) linking mode:
+        # zero serial driver work, so throughput tracks cluster size
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir,
+                   GRAFT_KG_MODE=os.environ.get("GRAFT_KG_MODE", "partitioned"),
+                   GRAFT_BENCH_ONLY=os.environ.get("GRAFT_BENCH_ONLY", "kg"))
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,
@@ -126,6 +135,7 @@ def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
     eff = (t_lo / t_hi) / (hi / lo)
     return {
         "metric": "kg_build scaling efficiency",
+        "mode": os.environ.get("GRAFT_KG_MODE", "partitioned"),
         "sf": sf_dir,
         f"sec_{lo}": t_lo,
         f"sec_{hi}": t_hi,

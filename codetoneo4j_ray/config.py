@@ -34,6 +34,7 @@ HANDLERS: tuple[HandlerConfig, ...] = (
     HandlerConfig("xml", (".xml",), "xml", "xml"),
     HandlerConfig("json", (".json",), "json", "json"),
     HandlerConfig("csproj", (".csproj",), "xml", "dotnet"),
+    HandlerConfig("dart", (".dart",), "dart", "flutter"),
     HandlerConfig("package_json", ("package.json",), "json", "node"),
     HandlerConfig("pubspec_yaml", ("pubspec.yaml",), "yaml", "flutter"),
 )

@@ -24,6 +24,7 @@ from codetoneo4j_ray.extractors.textfile import (
     extract_xaml,
     extract_xml,
 )
+from codetoneo4j_ray.extractors.dart import extract_dart
 from codetoneo4j_ray.extractors.typescript import extract_typescript
 from codetoneo4j_ray.functions.text import infer_file_metadata
 
@@ -76,6 +77,7 @@ _DISPATCH = {
     "xml": extract_xml,
     "json": extract_json,
     "csproj": extract_csproj,
+    "dart": extract_dart,
     "package_json": extract_package_json,
     "pubspec_yaml": extract_pubspec_yaml,
 }

@@ -74,12 +74,21 @@ def read_records(records_dir: str, rec_type: str | None = None) -> ray.data.Data
 
 
 def graph_from_records(
-    records: ray.data.Dataset | None = None, records_dir: str | None = None
+    records: ray.data.Dataset | None = None,
+    records_dir: str | None = None,
+    mode: str = "broadcast",
 ) -> dict[str, ray.data.Dataset]:
     """Stages 2–4 from a (re-readable) record stream.
 
     Pass ``records_dir`` (hive-partitioned checkpoint) for partition-
     pruned reads, or an in-memory/materialized ``records`` dataset.
+
+    ``mode``:
+      - "broadcast"   — member index + symbol-key set built on the driver
+        and broadcast via ray.put: lowest latency while they fit one node.
+      - "partitioned" — stage 2 runs as hash-partitioned bucket joins on
+        ``repo`` / key with zero serial driver work: the multi-node
+        configuration (scaling benches run this mode).
     Returns lazy datasets: nodes, edges, files, mentions_raw.
     """
     mention_cols = ["subj", "pred", "obj", "repo", "ctx_kind", "ctx_name",
@@ -93,20 +102,31 @@ def graph_from_records(
         symbols = records.filter(expr="rec_type == 'symbol'")
         files = records.filter(expr="rec_type == 'file'")
         raw_mentions = records.filter(expr="rec_type == 'mention'")
-    member_indices = build_member_indices(raw_mentions)
 
-    # narrow the mention stream before the resolve/join stages — only the
-    # resolution context columns travel, never the symbol payload
-    mentions = strip_internal(raw_mentions.select_columns(mention_cols))
-    resolved = resolve_mentions(mentions, member_indices)
+    if mode == "partitioned":
+        from codetoneo4j_ray.stages.link import (
+            resolve_edges_partitioned,
+            resolve_mentions_partitioned,
+        )
 
-    # declared-symbol key set (metadata): broadcast for the endpoint join
-    keys_df = symbols.select_columns(["key"]).to_pandas()
-    symbol_keys = set(keys_df["key"]) if "key" in keys_df.columns else set()
+        resolved = resolve_mentions_partitioned(raw_mentions)
+        sym_edges = resolve_edges_partitioned(
+            resolved.select_columns(["subj", "pred", "obj"]), symbols
+        )
+    else:
+        member_indices = build_member_indices(raw_mentions)
+        # narrow the mention stream before the resolve/join stages — only
+        # the resolution context columns travel, never the symbol payload
+        mentions = strip_internal(raw_mentions.select_columns(mention_cols))
+        resolved = resolve_mentions(mentions, member_indices)
 
-    sym_edges = resolve_edges_broadcast(
-        resolved.select_columns(["subj", "pred", "obj"]), symbol_keys
-    )
+        # declared-symbol key set (metadata): broadcast for the endpoint join
+        keys_df = symbols.select_columns(["key"]).to_pandas()
+        symbol_keys = set(keys_df["key"]) if "key" in keys_df.columns else set()
+
+        sym_edges = resolve_edges_broadcast(
+            resolved.select_columns(["subj", "pred", "obj"]), symbol_keys
+        )
     from codetoneo4j_ray.stages.bucketing import coalesce
 
     edges = distinct_triples(sym_edges.union(structural_edges(records)))
@@ -128,6 +148,7 @@ def build_graph(
     min_accessibility: str = DEFAULT_MIN_ACCESSIBILITY,
     resume: bool = True,
     concurrency=None,
+    mode: str = "broadcast",
 ) -> dict:
     """Full run with a records checkpoint; returns metrics."""
     config = {"min_accessibility": min_accessibility, "v": 1}
@@ -151,7 +172,7 @@ def build_graph(
     from concurrent.futures import ThreadPoolExecutor
 
     _stub_fsspec_http()
-    outputs = graph_from_records(records_dir=records_dir)
+    outputs = graph_from_records(records_dir=records_dir, mode=mode)
     metrics: dict = {}
 
     def write_one(name: str) -> tuple[str, int]:

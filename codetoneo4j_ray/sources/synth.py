@@ -22,7 +22,7 @@ import pyarrow.parquet as pq
 from codetoneo4j_ray.schema import CORPUS_SCHEMA
 
 _CORPUS_ROOT = os.environ.get("C2N4J_CORPUS_DIR", "/tmp/c2n4j_corpus")
-_GENERATOR_VERSION = 4  # bump to invalidate cached corpora
+_GENERATOR_VERSION = 5  # bump to invalidate cached corpora
 
 
 def sf_from_dir(sf_dir: str) -> str:
@@ -387,6 +387,20 @@ export const fmt = (s: string) => s.trim();
 """)
     add("client/src/util.ts", "typescript",
         "export function format(n: number): string {\n  return `${n}`;\n}\n")
+
+    add("mobile/lib/main.dart", "dart", f"""import 'package:flutter/material.dart';
+
+/// App {i} entry widget.
+class App{i}Widget extends StatelessWidget {{
+  final int build_count = 0;
+
+  Widget build(BuildContext context) {{
+    return Container(Text(format(build_count)));
+  }}
+}}
+
+String format(int n) {{ return '$n'; }}
+""")
 
     add("mobile/pubspec.yaml", "yaml", f"""name: mobile_{i}
 dependencies:

@@ -172,6 +172,85 @@ def resolve_mentions(
     )
 
 
+def resolve_mentions_partitioned(
+    raw_mentions: ray.data.Dataset,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Fully distributed step A: no driver-side index, no broadcast.
+
+    Mentions hash-partition by ``repo`` (the pipeline-wide partition
+    key); each bucket rebuilds its repos' member indices from the
+    co-partitioned ``__MEMBER__``/``__BASE__`` rows and resolves its
+    deferred mentions locally. One metadata shuffle, zero serial driver
+    work — the multi-node configuration of stage 2 (the broadcast path
+    remains the low-latency single-node option). Internal rows are
+    consumed here and dropped from the output.
+    """
+    import pandas as pd
+
+    from codetoneo4j_ray.stages.bucketing import bucketed_apply
+
+    def resolve_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        indices: dict[str, MemberIndex] = {}
+        internal = df["pred"].isin((MEMBER_PRED, BASE_PRED)).to_numpy()
+        for repo, pred, subj, obj, name, argc in zip(
+            df["repo"].to_numpy()[internal],
+            df["pred"].to_numpy()[internal],
+            df["subj"].to_numpy()[internal],
+            df["obj"].to_numpy()[internal],
+            df["ctx_name"].to_numpy()[internal],
+            df["ctx_argc"].to_numpy()[internal],
+        ):
+            idx = indices.get(repo)
+            if idx is None:
+                idx = indices[repo] = MemberIndex()
+            if pred == MEMBER_PRED:
+                idx.members[(subj, name)].append((int(argc), obj))
+            else:
+                idx.bases[subj].append(obj)
+        out = df.loc[~internal].copy()
+        import numpy as np
+
+        deferred = (out["ctx_kind"] != "").to_numpy()
+        if deferred.any():
+            objs = out["obj"].to_numpy(copy=True)
+            rows = zip(
+                np.nonzero(deferred)[0],
+                out["repo"].to_numpy()[deferred],
+                out["ctx_kind"].to_numpy()[deferred],
+                out["ctx_name"].to_numpy()[deferred],
+                out["ctx_receiver"].to_numpy()[deferred],
+                out["ctx_argc"].to_numpy()[deferred],
+            )
+            for pos, repo, kind, name, recv, argc in rows:
+                idx = indices.get(repo)
+                argc = int(argc)
+                key = None
+                if idx is not None:
+                    if kind == "ctor":
+                        key = idx.lookup(recv, ".ctor", argc)
+                    elif kind == "call_base":
+                        key = idx.lookup(recv, name, argc, skip_self=True)
+                    else:
+                        key = idx.lookup(recv, name, argc)
+                if key is None:
+                    repo_key = repo.lower()
+                    if kind == "ctor":
+                        simple = recv.rsplit(".", 1)[-1].split("<", 1)[0]
+                        key = f"{repo_key}:{recv}.{simple}(~{argc})"
+                    else:
+                        key = f"{repo_key}:{recv}.{name}(~{argc})"
+                objs[pos] = key
+            out["obj"] = objs
+        return out[["subj", "pred", "obj", "repo"]]
+
+    cols = ["subj", "pred", "obj", "repo", "ctx_kind", "ctx_name",
+            "ctx_receiver", "ctx_argc"]
+    return bucketed_apply(
+        raw_mentions.select_columns(cols), ["repo"], resolve_bucket, num_buckets
+    )
+
+
 # ---------------------------------------------------------------------------
 # step B: endpoint semi-join (MergeRelationships semantics)
 # ---------------------------------------------------------------------------
