@@ -197,6 +197,7 @@ class ExtractRecords:
                 rows.append(m)
             for u in ctx.urls:
                 u["rec_type"] = "url"
+                u["path"] = path
                 rows.append(u)
             ns = ctx.file_namespace_override
             if ns is None and ctx.namespace:

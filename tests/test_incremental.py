@@ -1,0 +1,85 @@
+"""Incremental rebuild: only changed files re-extracted; deletions drop."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from codetoneo4j_ray.schema import CORPUS_SCHEMA
+
+
+def _corpus(rows):
+    cols = list(zip(*rows))
+    return pa.table(
+        {f.name: pa.array(list(cols[i]), pa.string())
+         for i, f in enumerate(CORPUS_SCHEMA)},
+        schema=CORPUS_SCHEMA,
+    )
+
+
+V1 = [
+    ("r1", "src/A.cs", "c" * 40, "csharp",
+     "namespace N;\npublic class A { public void M() {} }"),
+    ("r1", "src/B.cs", "c" * 40, "csharp",
+     "namespace N;\npublic class B { public void Old() {} }"),
+    ("r1", "src/Gone.cs", "c" * 40, "csharp",
+     "namespace N;\npublic class Gone { }"),
+]
+V2 = [
+    V1[0],  # unchanged
+    ("r1", "src/B.cs", "d" * 40, "csharp",
+     "namespace N;\npublic class B { public void New() {} }"),  # changed
+    # src/Gone.cs deleted
+    ("r1", "src/C.cs", "d" * 40, "csharp",
+     "namespace N;\npublic class C { }"),  # added
+]
+
+
+@pytest.fixture(scope="module")
+def incr(ray_session, tmp_path_factory):
+    base = tmp_path_factory.mktemp("incr")
+    p1, p2 = str(base / "v1.parquet"), str(base / "v2.parquet")
+    pq.write_table(_corpus(V1), p1)
+    pq.write_table(_corpus(V2), p2)
+    from codetoneo4j_ray.pipelines.build_graph import build_graph
+    from codetoneo4j_ray.pipelines.incremental import build_graph_incremental
+
+    out1, out2 = str(base / "out1"), str(base / "out2")
+    build_graph(p1, out1)
+    metrics = build_graph_incremental(p2, out1, out2)
+
+    # a from-scratch build of v2 must equal the incremental one
+    out_full = str(base / "out_full")
+    build_graph(p2, out_full)
+    import ray.data as rd
+
+    return {
+        "metrics": metrics,
+        "incr": {n: rd.read_parquet(f"{out2}/{n}").to_pandas()
+                 for n in ("nodes", "edges", "files")},
+        "full": {n: rd.read_parquet(f"{out_full}/{n}").to_pandas()
+                 for n in ("nodes", "edges", "files")},
+    }
+
+
+def test_delta_detection(incr):
+    m = incr["metrics"]
+    assert m["changed_files"] == 2  # B changed + C added
+    assert m["deleted_files"] == 1
+    assert m["deleted"] == ["r1:src/Gone.cs"]
+
+
+def test_incremental_equals_full_rebuild(incr):
+    for n in ("nodes", "edges", "files"):
+        a = incr["incr"][n].reset_index(drop=True)
+        b = incr["full"][n].reset_index(drop=True)
+        assert a.equals(b), f"{n} differs"
+
+
+def test_old_symbols_gone_new_present(incr):
+    keys = set(incr["incr"]["nodes"]["key"])
+    assert "r1:N.B.New()" in keys
+    assert "r1:N.B.Old()" not in keys
+    assert "r1:N.Gone" not in keys
+    assert "r1:N.C" in keys
