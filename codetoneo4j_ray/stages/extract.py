@@ -125,38 +125,44 @@ def build_type_index(corpus: ray.data.Dataset) -> dict[str, RepoTypeIndex]:
     using); ``take_all`` here is bounded and intentional. At 10^12-file
     scale this would stay a Dataset hash-partitioned by repo.
     """
+    import pickle
+
+    import pandas as pd
+
     from codetoneo4j_ray.extractors.csharp.types import TypeInfo
+    from codetoneo4j_ray.stages.bucketing import bucketed_apply
 
-    df = corpus.map_batches(skim_batch, batch_format="pyarrow").to_pandas()
-    out: dict[str, RepoTypeIndex] = {}
-    if len(df) == 0:
-        return out
+    idx_rows = corpus.map_batches(skim_batch, batch_format="pyarrow")
 
-    def get(repo: str) -> RepoTypeIndex:
-        idx = out.get(repo)
-        if idx is None:
-            idx = out[repo] = RepoTypeIndex()
-        return idx
+    # assemble per-repo indices INSIDE bucketed tasks (repo-partitioned —
+    # the pipeline-wide key); the driver only unpickles one blob per repo
+    def assemble(df: pd.DataFrame) -> pd.DataFrame:
+        repos, blobs = [], []
+        for repo, g in df.groupby("repo", sort=False):
+            idx = RepoTypeIndex()
+            tmask = (g["rec_type"] == "type").to_numpy()
+            for is_type, full, arity, isval, kind, bases, tparams, fk, text in zip(
+                tmask, g["full_name"].to_numpy(), g["arity"].to_numpy(),
+                g["is_value"].to_numpy(), g["kind"].to_numpy(),
+                g["bases"].to_numpy(), g["type_params"].to_numpy(),
+                g["file_key"].to_numpy(), g["text"].to_numpy(),
+            ):
+                if is_type:
+                    idx.add_type(
+                        TypeInfo(
+                            full, int(arity), bool(isval), kind,
+                            tuple(b for b in bases.split(";") if b),
+                            tuple(p for p in tparams.split(";") if p),
+                        )
+                    )
+                else:
+                    idx.global_usings.append((fk, text))
+            repos.append(repo)
+            blobs.append(pickle.dumps(idx))
+        return pd.DataFrame({"repo": repos, "blob": blobs})
 
-    tmask = (df["rec_type"] == "type").to_numpy()
-    for is_type, repo, full, arity, isval, kind, bases, tparams, fk, text in zip(
-        tmask, df["repo"].to_numpy(), df["full_name"].to_numpy(),
-        df["arity"].to_numpy(), df["is_value"].to_numpy(),
-        df["kind"].to_numpy(), df["bases"].to_numpy(),
-        df["type_params"].to_numpy(), df["file_key"].to_numpy(),
-        df["text"].to_numpy(),
-    ):
-        if is_type:
-            get(repo).add_type(
-                TypeInfo(
-                    full, int(arity), bool(isval), kind,
-                    tuple(b for b in bases.split(";") if b),
-                    tuple(p for p in tparams.split(";") if p),
-                )
-            )
-        else:
-            get(repo).global_usings.append((fk, text))
-    return out
+    blobs = bucketed_apply(idx_rows, ["repo"], assemble).take_all()
+    return {r["repo"]: pickle.loads(r["blob"]) for r in blobs}
 
 
 class ExtractRecords:

@@ -288,61 +288,47 @@ def resolve_edges_partitioned(
     """Scale path: explicit hash-partitioned semi-join for when the
     declared-key set no longer fits a broadcast.
 
-    Each mention is exploded into two probe rows (one per endpoint);
-    probes and declared keys are hash-bucketed on the probed key and each
-    bucket joins vectorized; a mention survives only if BOTH its probes
-    hit. All-to-all traffic is keys + mention rows — never file content.
-    NOTE: unlike the broadcast path this dedups mentions (each survivor
-    emitted once), which is fine for the resolved-edge set because
-    distinct_triples follows anyway.
+    Two row-preserving filter-joins: mentions hash-bucket on ``subj``
+    with the declared keys and each bucket keeps rows whose subj exists;
+    the survivors repeat on ``obj``. All-to-all traffic is keys + mention
+    rows — never file content; duplicates pass through exactly like the
+    broadcast path (distinct happens later in canonicalization).
     """
     from codetoneo4j_ray.stages.bucketing import bucketed_apply
 
-    def explode(batch: pa.Table) -> pa.Table:
-        subj = batch["subj"].to_pylist()
-        pred = batch["pred"].to_pylist()
-        obj = batch["obj"].to_pylist()
-        rows = {"probe": [], "subj": [], "pred": [], "obj": [], "side": []}
-        for s, p, o in zip(subj, pred, obj):
-            for endpoint, probe in (("ms", s), ("mo", o)):
-                rows["probe"].append(probe)
-                rows["subj"].append(s)
-                rows["pred"].append(p)
-                rows["obj"].append(o)
-                rows["side"].append(endpoint)
-        return pa.table({k: pa.array(v, pa.string()) for k, v in rows.items()})
+    keys = symbols.select_columns(["key"])
 
-    def keys_side(batch: pa.Table) -> pa.Table:
-        keys = batch["key"].to_pylist()
-        n = len(keys)
-        return pa.table(
-            {
-                "probe": pa.array(keys, pa.string()),
-                "subj": pa.nulls(n, pa.string()),
+    def semi(mention_ds: ray.data.Dataset, col: str) -> ray.data.Dataset:
+        def keys_side(batch: pa.Table) -> pa.Table:
+            vals = batch["key"]
+            n = batch.num_rows
+            cols = {
+                col: vals,
+                "subj" if col != "subj" else "obj": pa.nulls(n, pa.string()),
                 "pred": pa.nulls(n, pa.string()),
-                "obj": pa.nulls(n, pa.string()),
-                "side": pa.array(["k"] * n, pa.string()),
+                "__side": pa.array(["k"] * n, pa.string()),
             }
+            return pa.table(
+                {name: cols[name] for name in ("subj", "pred", "obj", "__side")}
+            )
+
+        def mention_side(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "__side", pa.array(["m"] * batch.num_rows, pa.string())
+            )
+
+        both = mention_ds.map_batches(mention_side, batch_format="pyarrow").union(
+            keys.map_batches(keys_side, batch_format="pyarrow")
         )
 
-    both = mentions.map_batches(explode, batch_format="pyarrow").union(
-        symbols.select_columns(["key"]).map_batches(keys_side, batch_format="pyarrow")
-    )
+        def join_bucket(df):
+            have = set(df.loc[df["__side"] == "k", col].drop_duplicates())
+            m = df[df["__side"] == "m"]
+            return m.loc[m[col].isin(have), ["subj", "pred", "obj"]]
 
-    def join_bucket(df):
-        have = set(df.loc[df["side"] == "k", "probe"].drop_duplicates())
-        m = df[df["side"] != "k"]
-        hit = m[m["probe"].isin(have)]
-        return hit[["subj", "pred", "obj", "side"]].drop_duplicates()
+        return bucketed_apply(both, [col], join_bucket, num_buckets)
 
-    hits = bucketed_apply(both, ["probe"], join_bucket, num_buckets)
-
-    def both_endpoints(df):
-        g = df.groupby(["subj", "pred", "obj"], sort=False)["side"].nunique()
-        g = g.reset_index(name="n")
-        return g.loc[g["n"] >= 2, ["subj", "pred", "obj"]]
-
-    return bucketed_apply(hits, ["subj", "pred", "obj"], both_endpoints, num_buckets)
+    return semi(semi(mentions, "subj"), "obj")
 
 
 def strip_internal(records: ray.data.Dataset) -> ray.data.Dataset:
