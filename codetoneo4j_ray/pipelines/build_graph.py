@@ -110,8 +110,12 @@ def graph_from_records(
         )
 
         resolved = resolve_mentions_partitioned(raw_mentions)
-        sym_edges = resolve_edges_partitioned(
-            resolved.select_columns(["subj", "pred", "obj"]), symbols
+        # structural edges ride the obj-pass exchange; distinct fused in
+        edges = resolve_edges_partitioned(
+            resolved.select_columns(["subj", "pred", "obj"]),
+            symbols,
+            extra_edges=structural_edges(records),
+            distinct=True,
         )
     else:
         member_indices = build_member_indices(raw_mentions)
@@ -127,9 +131,9 @@ def graph_from_records(
         sym_edges = resolve_edges_broadcast(
             resolved.select_columns(["subj", "pred", "obj"]), symbol_keys
         )
+        edges = distinct_triples(sym_edges.union(structural_edges(records)))
     from codetoneo4j_ray.stages.bucketing import coalesce
 
-    edges = distinct_triples(sym_edges.union(structural_edges(records)))
     nodes = finalize_nodes(dedup_nodes(symbols))
     files_out = finalize_files(dedup_files(files))
     # coalesce before the final sorts: Ray's sort-based exchange is

@@ -284,6 +284,8 @@ def resolve_edges_partitioned(
     mentions: ray.data.Dataset,
     symbols: ray.data.Dataset,
     num_buckets: int = 64,
+    extra_edges: ray.data.Dataset | None = None,
+    distinct: bool = False,
 ) -> ray.data.Dataset:
     """Scale path: explicit hash-partitioned semi-join for when the
     declared-key set no longer fits a broadcast.
@@ -291,15 +293,28 @@ def resolve_edges_partitioned(
     Two row-preserving filter-joins: mentions hash-bucket on ``subj``
     with the declared keys and each bucket keeps rows whose subj exists;
     the survivors repeat on ``obj``. All-to-all traffic is keys + mention
-    rows — never file content; duplicates pass through exactly like the
-    broadcast path (distinct happens later in canonicalization).
+    rows — never file content.
+
+    With ``distinct=True`` the obj pass also deduplicates triples —
+    globally exact, since equal triples share their obj bucket — and
+    ``extra_edges`` (structural edges that skip endpoint filtering) can
+    ride the same exchange, saving a separate distinct shuffle.
     """
     from codetoneo4j_ray.stages.bucketing import bucketed_apply
 
     keys = symbols.select_columns(["key"])
 
-    def semi(mention_ds: ray.data.Dataset, col: str) -> ray.data.Dataset:
-        def keys_side(batch: pa.Table) -> pa.Table:
+    def tagged(ds: ray.data.Dataset, tag: str) -> ray.data.Dataset:
+        def fn(batch: pa.Table) -> pa.Table:
+            batch = batch.select(["subj", "pred", "obj"])
+            return batch.append_column(
+                "__side", pa.array([tag] * batch.num_rows, pa.string())
+            )
+
+        return ds.map_batches(fn, batch_format="pyarrow")
+
+    def keys_side(col: str):
+        def fn(batch: pa.Table) -> pa.Table:
             vals = batch["key"]
             n = batch.num_rows
             cols = {
@@ -312,23 +327,32 @@ def resolve_edges_partitioned(
                 {name: cols[name] for name in ("subj", "pred", "obj", "__side")}
             )
 
-        def mention_side(batch: pa.Table) -> pa.Table:
-            return batch.append_column(
-                "__side", pa.array(["m"] * batch.num_rows, pa.string())
-            )
+        return fn
 
-        both = mention_ds.map_batches(mention_side, batch_format="pyarrow").union(
-            keys.map_batches(keys_side, batch_format="pyarrow")
-        )
+    def semi(ds: ray.data.Dataset, col: str, last: bool) -> ray.data.Dataset:
+        both = ds.union(keys.map_batches(keys_side(col), batch_format="pyarrow"))
 
         def join_bucket(df):
             have = set(df.loc[df["__side"] == "k", col].drop_duplicates())
             m = df[df["__side"] == "m"]
-            return m.loc[m[col].isin(have), ["subj", "pred", "obj"]]
+            out = m[m[col].isin(have)]
+            passthrough = df[df["__side"] == "s"]
+            if len(passthrough):
+                import pandas as pd
+
+                out = pd.concat([out, passthrough], ignore_index=True)
+            if last:
+                if distinct:
+                    out = out.drop_duplicates(subset=["subj", "pred", "obj"])
+                return out[["subj", "pred", "obj"]]
+            return out[["subj", "pred", "obj", "__side"]]
 
         return bucketed_apply(both, [col], join_bucket, num_buckets)
 
-    return semi(semi(mentions, "subj"), "obj")
+    first = semi(tagged(mentions, "m"), "subj", last=False)
+    if extra_edges is not None:
+        first = first.union(tagged(extra_edges, "s"))
+    return semi(first, "obj", last=True)
 
 
 def strip_internal(records: ray.data.Dataset) -> ray.data.Dataset:
