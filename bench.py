@@ -109,6 +109,32 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     }
 
 
+def _burn(n: int) -> int:
+    s = 0
+    for i in range(n):
+        s += i * i % 7
+    return s
+
+
+def measure_env_ceiling(lo: int = 8, hi: int = 32) -> float:
+    """The sandbox's parallel-scaling ceiling: speedup/(hi/lo) of a pure
+    CPU-bound multiprocessing workload. Virtualized hosts cap well below
+    1.0 (frequency scaling / steal / memory bandwidth); pipeline scaling
+    efficiency should be read against this ceiling."""
+    import multiprocessing as mp
+
+    work, unit = 192, 2_000_000
+
+    def run(procs: int) -> float:
+        t0 = time.perf_counter()
+        with mp.Pool(procs) as p:
+            p.map(_burn, [unit] * work)
+        return time.perf_counter() - t0
+
+    t_lo, t_hi = run(lo), run(hi)
+    return round((t_lo / t_hi) / (hi / lo), 3)
+
+
 def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
     """Same job, two parallelism levels, fresh processes."""
     # pre-generate the corpus once so both runs read identical input
@@ -133,6 +159,7 @@ def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
     t_lo = r_lo["queries"]["kg_build"]
     t_hi = r_hi["queries"]["kg_build"]
     eff = (t_lo / t_hi) / (hi / lo)
+    ceiling = measure_env_ceiling(lo, hi)
     return {
         "metric": "kg_build scaling efficiency",
         "mode": os.environ.get("GRAFT_KG_MODE", "partitioned"),
@@ -143,6 +170,8 @@ def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
         f"files_per_sec_{hi}": r_hi["kg_files_per_sec"],
         "speedup": round(t_lo / t_hi, 3),
         "scaling_efficiency": round(eff, 3),
+        "env_parallel_ceiling": ceiling,
+        "scaling_efficiency_normalized": round(eff / ceiling, 3) if ceiling else None,
     }
 
 

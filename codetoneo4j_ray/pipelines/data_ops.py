@@ -91,17 +91,21 @@ def hash_bytes(s: str) -> int:
 
 
 _rng = np.random.RandomState(7)
-_A = _rng.randint(1, _MERSENNE, size=_MINHASH_PERMS, dtype=np.int64)
-_B = _rng.randint(0, _MERSENNE, size=_MINHASH_PERMS, dtype=np.int64)
+_A_U64 = _rng.randint(1, 1 << 62, size=_MINHASH_PERMS).astype(np.uint64) | np.uint64(1)
+_MIX = np.uint64(0x9E3779B97F4A7C15)  # splitmix64 odd constant
 
 
 def _minhash_sig(sh: set[int]) -> np.ndarray:
+    """64 min-hash values via xor-multiply mixing (wraparound uint64 —
+    the standard practical stand-in for min-wise independent perms)."""
     if not sh:
-        return np.full(_MINHASH_PERMS, _MERSENNE, dtype=np.int64)
-    x = np.fromiter(sh, dtype=np.int64, count=len(sh)) & _MERSENNE
-    # (a*x + b) mod p, vectorized over perms × shingles
-    vals = (x[None, :].astype(object) * _A[:, None] + _B[:, None]) % _MERSENNE
-    return np.min(vals.astype(np.int64), axis=1)
+        return np.full(_MINHASH_PERMS, np.iinfo(np.uint64).max, dtype=np.uint64)
+    x = np.fromiter(sh, dtype=np.uint64, count=len(sh))
+    with np.errstate(over="ignore"):
+        vals = (x[None, :] ^ _A_U64[:, None]) * _MIX
+        vals ^= vals >> np.uint64(29)
+        vals *= _MIX
+    return vals.min(axis=1)
 
 
 def doc_dedup_minhash(sf_dir: str, jaccard_threshold: float = 0.8) -> ray.data.Dataset:
