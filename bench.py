@@ -74,6 +74,8 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     extras["kg_edges"] = metrics["edges"]
     extras["kg_files"] = metrics["files"]
     extras["kg_files_per_sec"] = round(metrics["files"] / timings["kg_build"], 1)
+    if metrics.get("stage1_sec"):
+        timings["kg_stage1"] = metrics["stage1_sec"]
 
     only_kg = os.environ.get("GRAFT_BENCH_ONLY") == "kg"
 
@@ -136,7 +138,13 @@ def measure_env_ceiling(lo: int = 8, hi: int = 32) -> float:
 
 
 def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
-    """Same job, two parallelism levels, fresh processes."""
+    """Same job, two parallelism levels, fresh processes.
+
+    Defaults to a 4x corpus (sf0.2-scale) unless GRAFT_SCALING_SF_DIR is
+    set: at the default bench scale the synthetic files are tiny and
+    Ray's exchange latency dominates; the larger input runs the pipeline
+    in the bandwidth-bound regime it is designed for."""
+    sf_dir = os.environ.get("GRAFT_SCALING_SF_DIR", "/root/testdata/sf0.2")
     # pre-generate the corpus once so both runs read identical input
     from codetoneo4j_ray.sources.synth import ensure_corpus
 
@@ -168,6 +176,8 @@ def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
         f"sec_{hi}": t_hi,
         f"files_per_sec_{lo}": r_lo["kg_files_per_sec"],
         f"files_per_sec_{hi}": r_hi["kg_files_per_sec"],
+        f"stage1_sec_{lo}": r_lo["queries"].get("kg_stage1"),
+        f"stage1_sec_{hi}": r_hi["queries"].get("kg_stage1"),
         "speedup": round(t_lo / t_hi, 3),
         "scaling_efficiency": round(eff, 3),
         "env_parallel_ceiling": ceiling,

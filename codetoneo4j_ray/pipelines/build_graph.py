@@ -160,15 +160,20 @@ def build_graph(
     records_dir = f"{out_dir}/records"
 
     import shutil
+    import time
 
+    stage1_sec = 0.0
     if not (resume and stage_is_complete(out_dir, "records", fp)):
+        t0 = time.perf_counter()
         shutil.rmtree(records_dir, ignore_errors=True)
         corpus = read_corpus(input_path)
         records = extract_to_records(corpus, min_accessibility, concurrency)
         # hive-partition the checkpoint by rec_type (partition-pruned
         # reads downstream); block count already bounded at the read
         records.write_parquet(records_dir, partition_cols=["rec_type"])
-        write_manifest(out_dir, "records", fp, {"rows": _parquet_rows(records_dir)})
+        stage1_sec = round(time.perf_counter() - t0, 3)
+        write_manifest(out_dir, "records", fp,
+                       {"rows": _parquet_rows(records_dir), "wall_sec": stage1_sec})
 
     # Stages 2–4: build the three output pipelines, then run their
     # writes concurrently (they are independent; the streaming executor
@@ -188,6 +193,7 @@ def build_graph(
     with ThreadPoolExecutor(max_workers=3) as pool:
         for name, rows in pool.map(write_one, ("nodes", "edges", "files")):
             metrics[name] = rows
+    metrics["stage1_sec"] = stage1_sec
     write_manifest(out_dir, "graph", fp, metrics)
     return metrics
 
