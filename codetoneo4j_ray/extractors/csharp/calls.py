@@ -15,7 +15,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 from codetoneo4j_ray.extractors.csharp.lexer import Token
-from codetoneo4j_ray.extractors.csharp.parser import _Parser, parse_type_ref
+from codetoneo4j_ray.extractors.csharp.parser import PREDEFINED, _Parser, parse_type_ref
 from codetoneo4j_ray.extractors.csharp.types import TypeRef
 
 _SKIP_PAREN_KEYWORDS = frozenset({"nameof", "typeof", "sizeof", "default"})
@@ -30,12 +30,14 @@ _STMT_BOUNDARY = frozenset({";", "{", "}", "(", ","})
 
 @dataclass
 class CallSite:
-    kind: str                    # 'call' | 'call_base' | 'ctor'
-    name: str                    # method name, or '' for ctor
-    receiver: TypeRef | None     # receiver/constructed type (None = this-call)
+    kind: str                    # 'call' | 'call_base' | 'ctor' | 'cast' | 'mgroup'
+    name: str                    # method name, or '' for ctor/cast
+    receiver: TypeRef | None     # receiver/constructed/cast-target type
     receiver_chain: tuple[str, ...]  # raw chain when receiver type unknown
     argc: int
     line: int
+    source: TypeRef | None = None  # cast operand type when known (conversion
+                                   # operators may live on the source type)
 
 
 def scan_body(
@@ -43,12 +45,15 @@ def scan_body(
     span: tuple[int, int],
     param_types: dict[str, TypeRef],
     member_types: dict[str, TypeRef],
+    method_names: frozenset[str] = frozenset(),
 ) -> list[CallSite]:
     """Scan one body token range for call sites.
 
     param_types: method parameter name → type; member_types: containing
-    type's field/property name → type (same-file knowledge — the
-    cross-file partial-class slice is a documented recall delta).
+    type's field/property name → type; method_names: the containing
+    type's method names (same-file knowledge — the cross-file
+    partial-class slice is a documented recall delta), used to spot
+    method-group references (MemberDependencyExtractor.cs:152-168).
     """
     start, end = span
     locals_map: dict[str, TypeRef] = dict(param_types)
@@ -105,6 +110,44 @@ def scan_body(
             i = j if j > i + 1 else i + 1
             continue
 
+        # explicit cast: '(' Type ')' expr — conversion-operator INVOKES
+        # candidate (MemberDependencyExtractor.cs:126-133); stage 2 keeps
+        # it only when the target type declares a conversion operator.
+        if v == "(":
+            prev = code[i - 1].value if i - 1 > start else ""
+            if prev in ("=", "(", ",", "return", "=>", "+", "-", "*", "/") or i == start + 1:
+                close = _skip_balanced_from(code, i, end) - 1
+                sub.i = i + 1
+                tref = parse_type_ref(sub)
+                after = _peek(code, close + 1)
+                after_kind = code[close + 1].kind if close + 1 < end else ""
+                is_predefined = (
+                    tref is not None and tref.form == "named"
+                    and len(tref.parts) == 1 and not tref.args
+                    and tref.parts[0] in PREDEFINED
+                )
+                plausible_type = tref is not None and tref.form == "named" and (
+                    is_predefined
+                    or tref.parts[0][:1].isupper()
+                    or len(tref.parts) > 1
+                    or bool(tref.args)
+                )
+                if (
+                    plausible_type
+                    and sub.i == close
+                    and (after_kind in ("id", "str", "num") or after == "(")
+                ):
+                    source = None
+                    if after_kind == "id":
+                        source = (
+                            locals_map.get(code[close + 1].value)
+                            or member_types.get(code[close + 1].value)
+                        )
+                    if not is_predefined or source is not None:
+                        sites.append(
+                            CallSite("cast", "", tref, (), -1, t.line, source)
+                        )
+
         # local declaration:  Type name = / Type name ;
         if (
             t.kind == "id"
@@ -143,6 +186,27 @@ def scan_body(
                     sites.append(site)
                 i += 1
                 continue
+            # method group: a method name used as a value, not invoked
+            # (delegate assignment / argument / return) —
+            # MemberDependencyExtractor.cs:152-168. argc=-2 = any overload;
+            # the 'mgroup' kind is dropped in stage 2 when no method
+            # matches (a property access resolves to no IMethodSymbol).
+            prev = code[i - 1].value if i - 1 >= start else ""
+            nxt = _peek(code, i + 1)
+            _VALUE_POS = ("=", "(", ",", "return", "=>")
+            if nxt in (")", ",", ";"):
+                if prev in _VALUE_POS and v in method_names:
+                    sites.append(CallSite("call", v, None, (), -2, t.line))
+                elif prev in (".", "?.") and i - 2 >= start:
+                    recv_t = code[i - 2]
+                    before = code[i - 3].value if i - 3 >= start else ""
+                    if recv_t.kind == "id" and before in _VALUE_POS:
+                        tref = (
+                            locals_map.get(recv_t.value)
+                            or member_types.get(recv_t.value)
+                        )
+                        if tref is not None:
+                            sites.append(CallSite("mgroup", v, tref, (), -2, t.line))
         i += 1
     return sites
 

@@ -393,20 +393,26 @@ class _Emitter:
     def _emit_invokes(self, decl, m: CsMember, member_key: str, type_display: str,
                       scope: ResolutionScope, member_types: dict[str, TypeRef]) -> None:
         params = {p.name: p.type for p in (m.params or []) if p.type is not None and p.name}
-        sites = scan_body(self.parsed.code, m.body, params, member_types)
+        method_names = frozenset(
+            mm.name for mm in decl.members if mm.kind == "method"
+        )
+        sites = scan_body(self.parsed.code, m.body, params, member_types, method_names)
         seen: set[tuple] = set()  # per-method seenCallees dedup
         for s in sites:
             rec = self._site_receiver_display(s, type_display, scope)
             if rec is None:
                 continue
             receiver_display, ctx_kind = rec
-            sig = (ctx_kind, receiver_display, s.name, s.argc)
+            name = s.name
+            if ctx_kind == "cast":
+                name = getattr(self, "_cast_source", "")
+            sig = (ctx_kind, receiver_display, name, s.argc)
             if sig in seen:
                 continue
             seen.add(sig)
             self.ctx.add_deferred_mention(
                 member_key, INVOKES, ctx_kind,
-                s.name, receiver_display, s.argc,
+                name, receiver_display, s.argc,
                 scope.namespace, ";".join(scope.usings),
             )
 
@@ -415,6 +421,19 @@ class _Emitter:
         if s.kind == "ctor":
             r = self.resolver.display(s.receiver, scope)
             return (r.display, "ctor")
+        if s.kind == "cast":
+            r = self.resolver.display(s.receiver, scope)
+            src = self.resolver.display(s.source, scope) if s.source else None
+            src_ok = src is not None and src.found
+            if not r.found and not src_ok:
+                return None
+            # ctx_name carries the source-type display (conversion ops may
+            # be declared on either side); see _lookup_site
+            self._cast_source = src.display if src_ok else ""
+            return (r.display if r.found else "", "cast")
+        if s.kind == "mgroup":
+            r = self.resolver.display(s.receiver, scope)
+            return (r.display, "mgroup") if r.found else None
         if s.kind == "call_base":
             return (type_display, "call_base")
         if s.receiver is not None:

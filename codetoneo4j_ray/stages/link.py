@@ -44,6 +44,10 @@ class MemberIndex:
         self.members: dict[tuple[str, str], list[tuple[int, str]]] = defaultdict(list)
         self.bases: dict[str, list[str]] = defaultdict(list)
 
+    def lookup_all(self, type_display: str, name: str) -> list[str]:
+        """All candidate member keys of one type (no base walk)."""
+        return [k for _a, k in self.members.get((type_display, name), [])]
+
     def lookup(self, type_display: str, name: str, argc: int,
                skip_self: bool = False) -> str | None:
         """Resolve to a declared member key, walking internal bases."""
@@ -132,30 +136,63 @@ def _resolve_batch(batch: pa.Table, index_ref=None) -> pa.Table:
     names = batch["ctx_name"].to_pylist()
     recvs = batch["ctx_receiver"].to_pylist()
     argcs = batch["ctx_argc"].to_pylist()
+    keep = [True] * len(kinds)
     for i, kind in enumerate(kinds):
         if not kind or kind == "member":
             continue
         idx = indices.get(repos[i])
         repo_key = repos[i].lower()
         recv, name, argc = recvs[i], names[i], int(argcs[i])
-        key = None
-        if idx is not None:
-            if kind == "ctor":
-                key = idx.lookup(recv, ".ctor", argc)
-            elif kind == "call_base":
-                key = idx.lookup(recv, name, argc, skip_self=True)
-            else:
-                key = idx.lookup(recv, name, argc)
+        key = _lookup_site(idx, kind, recv, name, argc)
         if key is None:
+            if kind in ("mgroup", "cast"):
+                # no IMethodSymbol resolves here → Roslyn emits nothing
+                keep[i] = False
+                continue
             if kind == "ctor":
                 simple = recv.rsplit(".", 1)[-1].split("<", 1)[0]
                 key = f"{repo_key}:{recv}.{simple}(~{argc})"
             else:
                 key = f"{repo_key}:{recv}.{name}(~{argc})"
         objs[i] = key
-    return batch.set_column(
+    batch = batch.set_column(
         batch.schema.get_field_index("obj"), "obj", pa.array(objs, pa.string())
     )
+    if not all(keep):
+        batch = batch.filter(pa.array(keep, pa.bool_()))
+    return batch
+
+
+def _lookup_site(idx: "MemberIndex | None", kind: str, recv: str, name: str,
+                 argc: int) -> str | None:
+    if idx is None:
+        return None
+    if kind == "ctor":
+        return idx.lookup(recv, ".ctor", argc)
+    if kind == "call_base":
+        return idx.lookup(recv, name, argc, skip_self=True)
+    if kind == "cast":
+        # conversion ops can live on the target (recv) or source (ctx_name)
+        # type; pick by the operator's own signature embedded in the key:
+        #   {container}.explicit operator {target}({source})
+        cands: list[str] = []
+        for t in (recv, name):
+            if t:
+                cands += idx.lookup_all(t, "op_Explicit")
+                cands += idx.lookup_all(t, "op_Implicit")
+        if not cands:
+            return None
+        if recv:
+            sig = [k for k in cands if f" operator {recv}(" in k]
+            if sig:
+                cands = sig
+        if name:
+            src = [k for k in cands if k.endswith(f"({name})")]
+            if src:
+                cands = src
+        return min(cands)
+    # 'call' (argc=-2 ⇒ method group, any overload) and 'mgroup'
+    return idx.lookup(recv, name, argc)
 
 
 def resolve_mentions(
@@ -214,6 +251,7 @@ def resolve_mentions_partitioned(
         deferred = (out["ctx_kind"] != "").to_numpy()
         if deferred.any():
             objs = out["obj"].to_numpy(copy=True)
+            drop = np.zeros(len(out), dtype=bool)
             rows = zip(
                 np.nonzero(deferred)[0],
                 out["repo"].to_numpy()[deferred],
@@ -223,17 +261,12 @@ def resolve_mentions_partitioned(
                 out["ctx_argc"].to_numpy()[deferred],
             )
             for pos, repo, kind, name, recv, argc in rows:
-                idx = indices.get(repo)
                 argc = int(argc)
-                key = None
-                if idx is not None:
-                    if kind == "ctor":
-                        key = idx.lookup(recv, ".ctor", argc)
-                    elif kind == "call_base":
-                        key = idx.lookup(recv, name, argc, skip_self=True)
-                    else:
-                        key = idx.lookup(recv, name, argc)
+                key = _lookup_site(indices.get(repo), kind, recv, name, argc)
                 if key is None:
+                    if kind in ("mgroup", "cast"):
+                        drop[pos] = True
+                        continue
                     repo_key = repo.lower()
                     if kind == "ctor":
                         simple = recv.rsplit(".", 1)[-1].split("<", 1)[0]
@@ -242,6 +275,8 @@ def resolve_mentions_partitioned(
                         key = f"{repo_key}:{recv}.{name}(~{argc})"
                 objs[pos] = key
             out["obj"] = objs
+            if drop.any():
+                out = out.loc[~drop]
         return out[["subj", "pred", "obj", "repo"]]
 
     cols = ["subj", "pred", "obj", "repo", "ctx_kind", "ctx_name",

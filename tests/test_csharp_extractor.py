@@ -5,7 +5,7 @@ values derived from the reference's key/display semantics (SURVEY §1.4)."""
 from __future__ import annotations
 
 from codetoneo4j_ray.extractors import extract_file
-from codetoneo4j_ray.extractors.csharp.extractor import (
+from codetoneo4j_ray.extractors.csharp.extractor import (  # noqa: F401
     BASE_PRED,
     MEMBER_PRED,
     build_repo_index,
@@ -282,3 +282,72 @@ public class C
 """})["src/A.cs"]
         inv = [m for m in ctx.mentions if m["pred"] == "src__INVOKES"]
         assert len(inv) == 1
+
+
+class TestOperatorsAndMethodGroups:
+    SRC = {"src/A.cs": """namespace N;
+public class Temp
+{
+    public static explicit operator int(Temp t) { return 0; }
+    public static implicit operator Temp(int v) { return new Temp(); }
+    public Temp() { }
+}
+public class Use
+{
+    public void Go()
+    {
+        var t = new Temp();
+        int x = (int)t;
+        var t2 = (Temp)5;
+        System.Action a = Run;
+        Helper(Step);
+    }
+    public void Run() { }
+    private void Step() { }
+    private void Helper(System.Action cb) { }
+}
+"""}
+
+    def _resolved_invokes(self):
+        out = run(self.SRC)
+        ctx = out["src/A.cs"]
+        # emulate stage-2 member resolution in-process
+        from codetoneo4j_ray.stages.link import MemberIndex, _lookup_site
+
+        idx = MemberIndex()
+        for m in ctx.mentions:
+            if m["pred"] == MEMBER_PRED:
+                idx.members[(m["subj"], m["ctx_name"])].append(
+                    (m["ctx_argc"], m["obj"])
+                )
+            elif m["pred"] == BASE_PRED:
+                idx.bases[m["subj"]].append(m["obj"])
+        resolved = set()
+        for m in ctx.mentions:
+            if m["pred"] != "src__INVOKES":
+                continue
+            key = _lookup_site(idx, m["ctx_kind"], m["ctx_receiver"],
+                               m["ctx_name"], m["ctx_argc"])
+            if key is not None:
+                resolved.add((m["subj"], key))
+        return resolved
+
+    def test_explicit_cast_resolves_conversion_operator(self):
+        resolved = self._resolved_invokes()
+        # (int)t → Temp's explicit conversion (source-type lookup)
+        assert ("repo:N.Use.Go()",
+                "repo:N.Temp.explicit operator int(N.Temp)") in resolved
+        # (Temp)5 → Temp's implicit conversion (target-type lookup)
+        assert ("repo:N.Use.Go()",
+                "repo:N.Temp.implicit operator N.Temp(int)") in resolved
+
+    def test_method_groups_resolve(self):
+        resolved = self._resolved_invokes()
+        assert ("repo:N.Use.Go()", "repo:N.Use.Run()") in resolved
+        assert ("repo:N.Use.Go()", "repo:N.Use.Step()") in resolved
+
+    def test_operator_symbols_emitted(self):
+        out = run(self.SRC)
+        got = keys(out["src/A.cs"])
+        assert "repo:N.Temp.explicit operator int(N.Temp)" in got
+        assert "repo:N.Temp.implicit operator N.Temp(int)" in got
