@@ -32,6 +32,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         q_kg_edges,
         q_kg_files,
         q_kg_mentions_raw,
+        q_kg_pred_counts,
         q_kg_nodes,
         q_kg_symbol_kinds,
     )
@@ -42,6 +43,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_edges": q_kg_edges,
         "kg_files": q_kg_files,
         "kg_symbol_kinds": q_kg_symbol_kinds,
+        "kg_pred_counts": q_kg_pred_counts,
         "kg_mentions_raw": q_kg_mentions_raw,
         # training-data ops: dedup family
         "doc_dedup_exact": data_ops.doc_dedup_exact,
@@ -55,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis
         "text_stats": data_ops.text_stats,
         "lang_id": data_ops.lang_id,
+        "doc_quality": data_ops.doc_quality,
         "doc_fingerprint": data_ops.doc_fingerprint,
         # streaming-shaped + relational
         "events_tumbling": data_ops.events_tumbling,
@@ -86,6 +89,18 @@ def oracle_sql() -> dict[str, str]:
                        length(text) AS n_chars,
                        length(regexp_extract_all(text, '{tok}')) AS n_tokens,
                        length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS n_punct
+                FROM documents ORDER BY doc_id
+            """,
+            "doc_quality": """
+                SELECT doc_id,
+                       length(text) AS n_chars,
+                       length(regexp_split_to_array(trim(text), '[ \t\n\r]+')) AS n_words,
+                       (length(regexp_replace(text, '[^.,!?;:]', '', 'g')) * 100)
+                           // length(text) AS punct_per_100_chars,
+                       (length(text) BETWEEN 50 AND 100000)
+                           AND length(regexp_split_to_array(trim(text), '[ \t\n\r]+')) >= 10
+                           AND ((length(regexp_replace(text, '[^.,!?;:]', '', 'g')) * 100)
+                                // length(text)) <= 20 AS keep
                 FROM documents ORDER BY doc_id
             """,
             "doc_fingerprint": r"""

@@ -7,9 +7,13 @@ accessibility gates, CONTAINS/DEPENDS_ON/INVOKES extraction
 (``Technologies/DotNet/CSharp/RoslynSymbolProcessor.cs``,
 ``MemberDependencyExtractor.cs``) — without a compiler.
 
-Known deltas vs the Roslyn semantic model (documented, recall-only for the
-resolved-edge set): user-defined-operator / conversion / method-group /
-implicit-conversion INVOKES are not detected; overload resolution is
-arity-based, not type-based; calls inside interpolated-string holes are
-not seen.
+Covered INVOKES shapes: invocations, object creations, method groups,
+explicit casts → conversion operators, user-defined binary operator use
+(typed single-token operands), implicit conversions on declaration
+initializers. Remaining deltas vs the Roslyn semantic model (recall-only
+for the resolved-edge set): unary operator use, implicit conversions at
+argument/return/assignment positions, multi-token operand typing;
+overload resolution is arity-based, not type-based; calls inside
+interpolated-string holes are not seen; receiver field typing is
+same-file only across partial-class fragments.
 """

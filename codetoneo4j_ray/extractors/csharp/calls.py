@@ -167,6 +167,16 @@ def scan_body(
                 name = sub.tok().value
                 if not (tref.form == "named" and tref.parts == ["var"] and not tref.args):
                     locals_map[name] = tref
+                    # implicit conversion candidate on the initializer
+                    # (EqualsValueClauseSyntax — MemberDependencyExtractor.cs
+                    # :172-181,236-246): Type x = <known-typed expr>;
+                    if sub.val(1) == "=":
+                        src = _expr_head_type(code, sub.i + 2, end, locals_map,
+                                              member_types)
+                        if src is not None and src.written() != tref.written():
+                            sites.append(
+                                CallSite("conv", "", tref, (), -1, t.line, src)
+                            )
                     i = sub.i  # continue scanning from the declared name
                     continue
 
@@ -207,8 +217,58 @@ def scan_body(
                         )
                         if tref is not None:
                             sites.append(CallSite("mgroup", v, tref, (), -2, t.line))
+
+        # user-defined binary operator use: <typed operand> op <typed operand>
+        # (BinaryExpressionSyntax — MemberDependencyExtractor.cs:110-124);
+        # stage 2 keeps it only when either operand type declares the op.
+        if (
+            t.kind == "punct"
+            and v in _BINOPS
+            and i - 1 > start
+            and i + 1 < end
+        ):
+            lt = _operand_type(code, i - 1, locals_map, member_types)
+            rt = _operand_type(code, i + 1, locals_map, member_types)
+            if lt is not None and rt is not None:
+                sites.append(CallSite("binop", v, lt, (), -1, t.line, rt))
         i += 1
     return sites
+
+
+_BINOPS = ("+", "-", "*", "/", "%", "==", "!=")
+
+
+def _expr_head_type(code: list[Token], i: int, end: int, locals_map, member_types):
+    """Type of a simple expression head: literal or known identifier,
+    only when the whole initializer is that single token (next is ';')."""
+    if i >= end or i + 1 >= end or code[i + 1].value != ";":
+        return None
+    t = code[i]
+    if t.kind == "num":
+        name = "double" if ("." in t.value or "e" in t.value.lower()) else "int"
+        return TypeRef(form="named", parts=[name])
+    if t.kind == "str":
+        return TypeRef(form="named", parts=["string"])
+    if t.kind == "char":
+        return TypeRef(form="named", parts=["char"])
+    if t.kind == "id":
+        if t.value in ("true", "false"):
+            return TypeRef(form="named", parts=["bool"])
+        return locals_map.get(t.value) or member_types.get(t.value)
+    return None
+
+
+def _operand_type(code: list[Token], i: int, locals_map, member_types):
+    """Type of a single-token operand at i (for operator-use detection)."""
+    t = code[i]
+    if t.kind == "num":
+        name = "double" if ("." in t.value or "e" in t.value.lower()) else "int"
+        return TypeRef(form="named", parts=[name])
+    if t.kind == "str":
+        return TypeRef(form="named", parts=["string"])
+    if t.kind == "id" and t.value not in _NOT_CALLS:
+        return locals_map.get(t.value) or member_types.get(t.value)
+    return None
 
 
 def _peek(code: list[Token], i: int) -> str:

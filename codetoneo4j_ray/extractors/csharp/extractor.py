@@ -404,7 +404,7 @@ class _Emitter:
                 continue
             receiver_display, ctx_kind = rec
             name = s.name
-            if ctx_kind == "cast":
+            if ctx_kind in ("cast", "conv", "binop"):
                 name = getattr(self, "_cast_source", "")
             sig = (ctx_kind, receiver_display, name, s.argc)
             if sig in seen:
@@ -434,6 +434,21 @@ class _Emitter:
         if s.kind == "mgroup":
             r = self.resolver.display(s.receiver, scope)
             return (r.display, "mgroup") if r.found else None
+        if s.kind in ("conv", "binop"):
+            left = self.resolver.display(s.receiver, scope)
+            right = self.resolver.display(s.source, scope) if s.source else None
+            # only when an INTERNAL type is involved can a user-defined
+            # operator/conversion exist in this repo
+            internal = (left.found and left.info is not None) or (
+                right is not None and right.found and right.info is not None
+            )
+            if not internal or right is None:
+                return None
+            if s.kind == "conv":
+                self._cast_source = right.display
+                return (left.display, "conv")
+            self._cast_source = f"{s.name}\x1f{right.display}"
+            return (left.display, "binop")
         if s.kind == "call_base":
             return (type_display, "call_base")
         if s.receiver is not None:

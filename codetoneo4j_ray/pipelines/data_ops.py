@@ -463,6 +463,38 @@ def lang_id(sf_dir: str) -> ray.data.Dataset:
     ).sort("doc_id")
 
 
+def doc_quality(sf_dir: str) -> ray.data.Dataset:
+    """Gopher-style quality gate with integer/bool outputs (SQL-exact):
+    (doc_id, n_chars, n_words, punct_per_100_chars, keep)."""
+
+    def score(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        n_chars, n_words, punct100, keeps = [], [], [], []
+        for t in texts:
+            nc = len(t)
+            nw = len(t.split())
+            np_ = sum(1 for c in t if c in ".,!?;:")
+            p100 = (np_ * 100) // nc if nc else 0
+            n_chars.append(nc)
+            n_words.append(nw)
+            punct100.append(p100)
+            keeps.append(50 <= nc <= 100_000 and nw >= 10 and p100 <= 20)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_chars": pa.array(n_chars, pa.int64()),
+                "n_words": pa.array(n_words, pa.int64()),
+                "punct_per_100_chars": pa.array(punct100, pa.int64()),
+                "keep": pa.array(keeps, pa.bool_()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow"
+    ).sort("doc_id")
+
+
 def doc_fingerprint(sf_dir: str) -> ray.data.Dataset:
     """Normalized-text digest fingerprint: md5(lower(ws-collapsed text))."""
     import re

@@ -161,6 +161,34 @@ def q_kg_symbol_kinds(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_kg_pred_counts(sf_dir: str) -> ray.data.Dataset:
+    """Edge count per predicate over the FINAL edge table — exercises the
+    full linking+dedup chain feeding a distributed aggregate."""
+    import pandas as pd
+
+    from codetoneo4j_ray.stages.bucketing import bucketed_apply
+
+    edges = q_kg_edges(sf_dir)
+
+    def count(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("pred", as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("pred", as_index=False).agg(n=("n", "sum"))
+
+    partial = edges.map_batches(
+        lambda b: pa.Table.from_pandas(
+            b.to_pandas().groupby("pred", as_index=False).size().rename(
+                columns={"size": "n"}
+            ),
+            preserve_index=False,
+        ),
+        batch_format="pyarrow",
+    )
+    return bucketed_apply(partial, ["pred"], merge).sort("pred")
+
+
 def q_kg_mentions_raw(sf_dir: str) -> ray.data.Dataset:
     """Raw mention triples (relBuffer analog, pre-linking) — rows-only."""
     paths = ensure_kg(sf_dir)
@@ -264,5 +292,36 @@ def oracle_kg(sf_dir: str) -> dict[str, str]:
             SELECT language, kind, count(*) AS n
             FROM ({nodes_dedup})
             GROUP BY language, kind ORDER BY language, kind
+        """,
+        "kg_pred_counts": f"""
+            WITH sym AS (SELECT * FROM {records} WHERE rec_type = 'symbol'),
+            keys AS (SELECT DISTINCT key FROM sym),
+            men AS (
+                SELECT subj, pred, obj FROM {mentions}
+                WHERE pred NOT IN ('{MEMBER_PRED}', '{BASE_PRED}')
+            ),
+            all_edges AS (
+                SELECT m.subj, m.pred, m.obj
+                FROM men m
+                JOIN keys k1 ON m.subj = k1.key
+                JOIN keys k2 ON m.obj = k2.key
+                UNION ALL
+                SELECT file_key, 'src__DECLARES', key FROM sym
+                UNION ALL
+                SELECT lower(repo), 'src__HAS_FILE', key
+                FROM {records} WHERE rec_type = 'file'
+                UNION ALL
+                SELECT s.key, 'src__HAS_TAG', t.tag
+                FROM sym s JOIN {tags_map} t ON s.namespace = t.namespace
+                UNION ALL
+                SELECT lower(repo), 'src__DEPENDS_ON', key
+                FROM sym WHERE kind = 'Dependency'
+                UNION ALL
+                SELECT dep_key, 'src__HAS_URL', url_key
+                FROM {records} WHERE rec_type = 'url'
+            )
+            SELECT pred, count(*) AS n
+            FROM (SELECT DISTINCT subj, pred, obj FROM all_edges)
+            GROUP BY pred ORDER BY pred
         """,
     }

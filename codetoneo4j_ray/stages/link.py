@@ -31,6 +31,12 @@ from codetoneo4j_ray.extractors.csharp.extractor import BASE_PRED, MEMBER_PRED
 
 _MAX_BASE_DEPTH = 16
 
+_OP_METADATA = {
+    "+": "op_Addition", "-": "op_Subtraction", "*": "op_Multiply",
+    "/": "op_Division", "%": "op_Modulus", "==": "op_Equality",
+    "!=": "op_Inequality",
+}
+
 
 # ---------------------------------------------------------------------------
 # member index
@@ -145,7 +151,7 @@ def _resolve_batch(batch: pa.Table, index_ref=None) -> pa.Table:
         recv, name, argc = recvs[i], names[i], int(argcs[i])
         key = _lookup_site(idx, kind, recv, name, argc)
         if key is None:
-            if kind in ("mgroup", "cast"):
+            if kind in ("mgroup", "cast", "conv", "binop"):
                 # no IMethodSymbol resolves here → Roslyn emits nothing
                 keep[i] = False
                 continue
@@ -190,6 +196,31 @@ def _lookup_site(idx: "MemberIndex | None", kind: str, recv: str, name: str,
             src = [k for k in cands if k.endswith(f"({name})")]
             if src:
                 cands = src
+        return min(cands)
+    if kind == "conv":
+        # implicit conversion: ops on target (recv) or source (name) type,
+        # implicit only, signature-matched
+        cands = idx.lookup_all(recv, "op_Implicit") + idx.lookup_all(name, "op_Implicit")
+        if not cands:
+            return None
+        sig = [k for k in cands if f" operator {recv}(" in k]
+        if sig:
+            cands = sig
+        src = [k for k in cands if k.endswith(f"({name})")]
+        if src:
+            cands = src
+        return min(cands)
+    if kind == "binop":
+        op, _sep, right = name.partition("\x1f")
+        meta = _OP_METADATA.get(op)
+        if meta is None:
+            return None
+        cands = idx.lookup_all(recv, meta) + idx.lookup_all(right, meta)
+        if not cands:
+            return None
+        sig = [k for k in cands if k.endswith(f"({recv}, {right})")]
+        if sig:
+            cands = sig
         return min(cands)
     # 'call' (argc=-2 ⇒ method group, any overload) and 'mgroup'
     return idx.lookup(recv, name, argc)
@@ -264,7 +295,7 @@ def resolve_mentions_partitioned(
                 argc = int(argc)
                 key = _lookup_site(indices.get(repo), kind, recv, name, argc)
                 if key is None:
-                    if kind in ("mgroup", "cast"):
+                    if kind in ("mgroup", "cast", "conv", "binop"):
                         drop[pos] = True
                         continue
                     repo_key = repo.lower()

@@ -351,3 +351,59 @@ public class Use
         got = keys(out["src/A.cs"])
         assert "repo:N.Temp.explicit operator int(N.Temp)" in got
         assert "repo:N.Temp.implicit operator N.Temp(int)" in got
+
+
+class TestUserDefinedOperators:
+    SRC = {"src/A.cs": """namespace N;
+public class Money
+{
+    public static Money operator +(Money a, Money b) { return a; }
+    public static bool operator ==(Money a, Money b) { return true; }
+    public static bool operator !=(Money a, Money b) { return false; }
+    public static implicit operator Money(int cents) { return new Money(); }
+    public Money() { }
+}
+public class Use
+{
+    public void Go()
+    {
+        var m1 = new Money();
+        var m2 = new Money();
+        var m3 = m1 + m2;
+        bool eq = m1 == m2;
+        Money m4 = 500;
+        int plain = 1 + 2;
+    }
+}
+"""}
+
+    def _resolved(self):
+        from codetoneo4j_ray.stages.link import MemberIndex, _lookup_site
+
+        ctx = run(self.SRC)["src/A.cs"]
+        idx = MemberIndex()
+        for m in ctx.mentions:
+            if m["pred"] == MEMBER_PRED:
+                idx.members[(m["subj"], m["ctx_name"])].append(
+                    (m["ctx_argc"], m["obj"])
+                )
+        out = set()
+        for m in ctx.mentions:
+            if m["pred"] == "src__INVOKES" and m["ctx_kind"]:
+                key = _lookup_site(idx, m["ctx_kind"], m["ctx_receiver"],
+                                   m["ctx_name"], m["ctx_argc"])
+                if key is not None:
+                    out.add(key)
+        return out
+
+    def test_binary_operator_use(self):
+        resolved = self._resolved()
+        assert "repo:N.Money.operator +(N.Money, N.Money)" in resolved
+        assert "repo:N.Money.operator ==(N.Money, N.Money)" in resolved
+
+    def test_implicit_conversion_on_initializer(self):
+        assert "repo:N.Money.implicit operator N.Money(int)" in self._resolved()
+
+    def test_builtin_operators_emit_nothing(self):
+        # 1 + 2 → no user-defined op → no resolved key
+        assert not any("int, int" in k for k in self._resolved())
