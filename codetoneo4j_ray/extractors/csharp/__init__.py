@@ -15,5 +15,7 @@ for the resolved-edge set): unary operator use, implicit conversions at
 argument/return/assignment positions, multi-token operand typing;
 overload resolution is arity-based, not type-based; calls inside
 interpolated-string holes are not seen; receiver field typing is
-same-file only across partial-class fragments.
+same-file only across partial-class fragments; external (non-repo,
+non-well-known-BCL) type names in keys stay as written rather than
+assembly-qualified — internally consistent, so linking is unaffected.
 """
