@@ -218,6 +218,20 @@ def scan_body(
                         if tref is not None:
                             sites.append(CallSite("mgroup", v, tref, (), -2, t.line))
 
+        # user-defined unary operator use: op <typed operand> / <typed>++/--
+        # (Prefix/PostfixUnaryExpressionSyntax — MemberDependencyExtractor
+        # .cs:135-151); stage 2 keeps it only for user-defined operators.
+        if t.kind == "punct" and v in _UNOP_PREFIX and i + 1 < end:
+            prev = code[i - 1].value if i - 1 > start else "("
+            if prev in _PREFIX_BOUNDARY:
+                ot = _operand_type(code, i + 1, locals_map, member_types)
+                if ot is not None:
+                    sites.append(CallSite("unop", v, ot, (), -1, t.line))
+        if t.kind == "punct" and v in ("++", "--") and i - 1 > start:
+            ot = _operand_type(code, i - 1, locals_map, member_types)
+            if ot is not None:
+                sites.append(CallSite("unop", v, ot, (), -1, t.line))
+
         # user-defined binary operator use: <typed operand> op <typed operand>
         # (BinaryExpressionSyntax — MemberDependencyExtractor.cs:110-124);
         # stage 2 keeps it only when either operand type declares the op.
@@ -236,6 +250,10 @@ def scan_body(
 
 
 _BINOPS = ("+", "-", "*", "/", "%", "==", "!=")
+_UNOP_PREFIX = ("!", "~", "-", "+", "++", "--")
+_PREFIX_BOUNDARY = frozenset(
+    ("=", "(", ",", ";", "return", "=>", "&&", "||", "==", "!=", "{", "[")
+)
 
 
 def _expr_head_type(code: list[Token], i: int, end: int, locals_map, member_types):

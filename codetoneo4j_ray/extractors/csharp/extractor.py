@@ -404,7 +404,7 @@ class _Emitter:
                 continue
             receiver_display, ctx_kind = rec
             name = s.name
-            if ctx_kind in ("cast", "conv", "binop"):
+            if ctx_kind in ("cast", "conv", "binop", "unop"):
                 name = getattr(self, "_cast_source", "")
             sig = (ctx_kind, receiver_display, name, s.argc)
             if sig in seen:
@@ -434,6 +434,12 @@ class _Emitter:
         if s.kind == "mgroup":
             r = self.resolver.display(s.receiver, scope)
             return (r.display, "mgroup") if r.found else None
+        if s.kind == "unop":
+            r = self.resolver.display(s.receiver, scope)
+            if not r.found or r.info is None:
+                return None  # only internal types can declare the operator
+            self._cast_source = s.name
+            return (r.display, "unop")
         if s.kind in ("conv", "binop"):
             left = self.resolver.display(s.receiver, scope)
             right = self.resolver.display(s.source, scope) if s.source else None

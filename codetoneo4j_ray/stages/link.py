@@ -37,6 +37,11 @@ _OP_METADATA = {
     "!=": "op_Inequality",
 }
 
+_UNOP_METADATA = {
+    "!": "op_LogicalNot", "~": "op_OnesComplement", "-": "op_UnaryNegation",
+    "+": "op_UnaryPlus", "++": "op_Increment", "--": "op_Decrement",
+}
+
 
 # ---------------------------------------------------------------------------
 # member index
@@ -151,7 +156,7 @@ def _resolve_batch(batch: pa.Table, index_ref=None) -> pa.Table:
         recv, name, argc = recvs[i], names[i], int(argcs[i])
         key = _lookup_site(idx, kind, recv, name, argc)
         if key is None:
-            if kind in ("mgroup", "cast", "conv", "binop"):
+            if kind in ("mgroup", "cast", "conv", "binop", "unop"):
                 # no IMethodSymbol resolves here → Roslyn emits nothing
                 keep[i] = False
                 continue
@@ -222,6 +227,13 @@ def _lookup_site(idx: "MemberIndex | None", kind: str, recv: str, name: str,
         if sig:
             cands = sig
         return min(cands)
+    if kind == "unop":
+        meta = _UNOP_METADATA.get(name)
+        if meta is None:
+            return None
+        cands = [k for k in idx.lookup_all(recv, meta)
+                 if k.endswith(f"({recv})")] or idx.lookup_all(recv, meta)
+        return min(cands) if cands else None
     # 'call' (argc=-2 ⇒ method group, any overload) and 'mgroup'
     return idx.lookup(recv, name, argc)
 
@@ -295,7 +307,7 @@ def resolve_mentions_partitioned(
                 argc = int(argc)
                 key = _lookup_site(indices.get(repo), kind, recv, name, argc)
                 if key is None:
-                    if kind in ("mgroup", "cast", "conv", "binop"):
+                    if kind in ("mgroup", "cast", "conv", "binop", "unop"):
                         drop[pos] = True
                         continue
                     repo_key = repo.lower()

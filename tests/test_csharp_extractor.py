@@ -407,3 +407,53 @@ public class Use
     def test_builtin_operators_emit_nothing(self):
         # 1 + 2 → no user-defined op → no resolved key
         assert not any("int, int" in k for k in self._resolved())
+
+
+class TestUnaryOperators:
+    SRC = {"src/A.cs": """namespace N;
+public class Flag
+{
+    public static Flag operator !(Flag f) { return f; }
+    public static Flag operator ++(Flag f) { return f; }
+    public Flag() { }
+}
+public class Use
+{
+    public void Go()
+    {
+        var f = new Flag();
+        var g = !f;
+        f++;
+        int x = 5;
+        bool b = !true;
+        x++;
+    }
+}
+"""}
+
+    def _resolved(self):
+        from codetoneo4j_ray.stages.link import MemberIndex, _lookup_site
+
+        ctx = run(self.SRC)["src/A.cs"]
+        idx = MemberIndex()
+        for m in ctx.mentions:
+            if m["pred"] == MEMBER_PRED:
+                idx.members[(m["subj"], m["ctx_name"])].append(
+                    (m["ctx_argc"], m["obj"])
+                )
+        out = set()
+        for m in ctx.mentions:
+            if m["pred"] == "src__INVOKES" and m["ctx_kind"]:
+                key = _lookup_site(idx, m["ctx_kind"], m["ctx_receiver"],
+                                   m["ctx_name"], m["ctx_argc"])
+                if key is not None:
+                    out.add(key)
+        return out
+
+    def test_unary_operators_resolve(self):
+        resolved = self._resolved()
+        assert "repo:N.Flag.operator !(N.Flag)" in resolved
+        assert "repo:N.Flag.operator ++(N.Flag)" in resolved
+
+    def test_builtin_unary_emits_nothing(self):
+        assert not any("(int)" in k or "(bool)" in k for k in self._resolved())
