@@ -8,11 +8,12 @@ accessibility gates, CONTAINS/DEPENDS_ON/INVOKES extraction
 ``MemberDependencyExtractor.cs``) — without a compiler.
 
 Covered INVOKES shapes: invocations, object creations, method groups,
-explicit casts → conversion operators, user-defined binary operator use
-(typed single-token operands), implicit conversions on declaration
-initializers. Remaining deltas vs the Roslyn semantic model (recall-only
-for the resolved-edge set): unary operator use, implicit conversions at
-argument/return/assignment positions, multi-token operand typing;
+explicit casts → conversion operators, user-defined binary and unary
+operator use (typed single-token operands), implicit conversions on
+declaration initializers — the full MemberDependencyExtractor node-kind
+matrix. Remaining deltas vs the Roslyn semantic model (recall-only for
+the resolved-edge set): implicit conversions at argument/return/
+assignment positions, multi-token operand typing;
 overload resolution is arity-based, not type-based; calls inside
 interpolated-string holes are not seen; receiver field typing is
 same-file only across partial-class fragments; external (non-repo,

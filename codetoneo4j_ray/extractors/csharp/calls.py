@@ -2,11 +2,10 @@
 
 Approximates MemberDependencyExtractor.ExtractMethodExecutes
 (``Technologies/DotNet/CSharp/MemberDependencyExtractor.cs:77-181``):
-invocations and object creations, with per-method callee dedup
-(``:90,218-230``). Operator / conversion / method-group / implicit-
-conversion detection requires full semantic typing and is not ported
-(recall-only delta for the resolved-edge set, documented in
-``__init__.py``). A flat token scan naturally attributes lambda-body
+invocations, object creations, method groups, explicit casts, binary and
+unary operator uses, and initializer implicit conversions, with
+per-method callee dedup (``:90,218-230``). Residual deltas are listed in
+``__init__.py``. A flat token scan naturally attributes lambda-body
 calls to the containing method, like Roslyn's DescendantNodes walk.
 """
 
