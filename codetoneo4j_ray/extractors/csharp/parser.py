@@ -660,7 +660,8 @@ class _Parser:
             end = self.i
             end_t = self.tok()
             self.accept(";")
-            return (start, end), (end_t.line if end_t else self.code[start].line)
+            fallback = self.code[start].line if start < len(self.code) else 0
+            return (start, end), (end_t.line if end_t else fallback)
         end_t = self.tok()
         self.accept(";")
         return None, (end_t.line if end_t else 0)
