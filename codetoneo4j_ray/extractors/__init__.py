@@ -57,12 +57,18 @@ def extract_file(
         technology=handler.technology,
     )
     fn = _DISPATCH[handler.name]
-    if handler.name == "csharp":
-        fn(ctx, min_accessibility, repo_index or _EMPTY_INDEX)
-    elif handler.name in ("typescript", "javascript"):
-        fn(ctx, min_accessibility, handler.kind_prefix)
-    else:
-        fn(ctx, min_accessibility)
+    try:
+        if handler.name == "csharp":
+            fn(ctx, min_accessibility, repo_index or _EMPTY_INDEX)
+        elif handler.name in ("typescript", "javascript"):
+            fn(ctx, min_accessibility, handler.kind_prefix)
+        else:
+            fn(ctx, min_accessibility)
+    except RecursionError:
+        # pathologically nested input (deep XML/JSON trees): keep whatever
+        # was emitted before the limit — handlers warn-and-skip, never fail
+        # the pipeline (JsonHandler.cs:38-41 / XmlHandler.cs:39-42 spirit)
+        pass
     return ctx
 
 
