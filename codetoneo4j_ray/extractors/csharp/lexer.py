@@ -35,7 +35,7 @@ def _is_id_part(c: str) -> bool:
     return c.isalnum() or c == "_"
 
 
-def tokenize(src: str) -> list[Token]:
+def tokenize(src: str, depth: int = 0) -> list[Token]:
     toks: list[Token] = []
     i, n, line = 0, len(src), 1
     while i < n:
@@ -77,6 +77,17 @@ def tokenize(src: str) -> list[Token]:
         ):
             text, nl = _scan_string(src, i)
             toks.append(Token("str", text, line))
+            # interpolation holes: re-lex the hole expressions and splice
+            # them in, paren-wrapped, so call-site scanning sees them
+            # (Roslyn's DescendantNodes walks interpolations; depth-capped)
+            if "$" in text[:3] and depth < 4:
+                for hole in _holes(text):
+                    toks.append(Token("punct", "(", line))
+                    toks.extend(
+                        t2 for t2 in tokenize(hole, depth + 1)
+                        if t2.kind not in ("comment", "doc")
+                    )
+                    toks.append(Token("punct", ")", line))
             line += nl
             i += len(text)
             continue
@@ -129,6 +140,79 @@ def tokenize(src: str) -> list[Token]:
         toks.append(Token("punct", c, line))
         i += 1
     return toks
+
+
+def _holes(literal: str) -> list[str]:
+    """Hole expression substrings of an interpolated string literal.
+
+    Mirrors _scan_string's state machine; trims a trailing ``:format`` /
+    ``,alignment`` clause at hole depth 1."""
+    holes: list[str] = []
+    n = len(literal)
+    i = 0
+    verbatim = False
+    while i < n and literal[i] in "$@":
+        verbatim = verbatim or literal[i] == "@"
+        i += 1
+    if literal[i : i + 3] == '"""':
+        return []  # raw literals: holes rare, skip
+    i += 1
+    depth = 0
+    start = -1
+    fmt_cut = -1
+    pdepth = 0
+    while i < n:
+        c = literal[i]
+        if depth == 0:
+            if c == "\\" and not verbatim:
+                i += 2
+                continue
+            if c == '"':
+                if verbatim and literal[i + 1 : i + 2] == '"':
+                    i += 2
+                    continue
+                break
+            if c == "{" and literal[i + 1 : i + 2] != "{":
+                depth = 1
+                start = i + 1
+                fmt_cut = -1
+                pdepth = 0
+                i += 1
+                continue
+            if c == "{":
+                i += 2
+                continue
+            i += 1
+        else:
+            if c == "{":
+                depth += 1
+            elif c == "}":
+                depth -= 1
+                if depth == 0:
+                    end = fmt_cut if fmt_cut >= 0 else i
+                    holes.append(literal[start:end])
+            elif c in "([":
+                pdepth += 1
+            elif c in ")]":
+                pdepth -= 1
+            elif c in ":," and depth == 1 and pdepth == 0 and fmt_cut < 0:
+                fmt_cut = i
+            elif c == '"' or (c in "$@" and _looks_like_string(literal, i)):
+                inner, _ = _scan_string(literal, i)
+                i += len(inner)
+                continue
+            elif c == "'":
+                i += 1
+                while i < n:
+                    if literal[i] == "\\":
+                        i += 2
+                        continue
+                    if literal[i] == "'":
+                        break
+                    i += 1
+            i += 1
+            continue
+    return holes
 
 
 def _scan_template(src: str, i: int) -> tuple[str, int]:

@@ -457,3 +457,20 @@ public class Use
 
     def test_builtin_unary_emits_nothing(self):
         assert not any("(int)" in k or "(bool)" in k for k in self._resolved())
+
+
+def test_calls_inside_interpolated_strings():
+    # Roslyn walks interpolation holes (DescendantNodes); so do we
+    ctx = run({"src/A.cs": """namespace N;
+public class C
+{
+    public void Go()
+    {
+        var msg = $"value: {Fmt(1)}, padded {Fmt(2),10:N2}";
+    }
+    public string Fmt(int x) { return ""; }
+}
+"""})["src/A.cs"]
+    inv = [(m["ctx_receiver"], m["ctx_name"], m["ctx_argc"])
+           for m in ctx.mentions if m["pred"] == "src__INVOKES"]
+    assert ("N.C", "Fmt", 1) in inv
