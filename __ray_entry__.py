@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": data_ops.doc_fingerprint,
         # streaming-shaped + relational
         "events_tumbling": data_ops.events_tumbling,
+        "events_sessionize": data_ops.events_sessionize,
         "revenue_by_nation": data_ops.revenue_by_nation,
         "pricing_summary": data_ops.pricing_summary,
         # multimodal plumbing (stubbed decode)
@@ -139,6 +140,32 @@ def oracle_sql() -> dict[str, str]:
                        count(*) AS n_events,
                        CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS sum_milli
                 FROM events GROUP BY 1, 2 ORDER BY user_id, window_hour
+            """,
+            "events_sessionize": """
+                WITH e AS (
+                    SELECT user_id, event_id,
+                           CAST(floor(epoch(ts)) AS BIGINT) AS sec
+                    FROM events
+                ),
+                l AS (
+                    SELECT *, CASE WHEN lag(sec) OVER w IS NULL
+                                   OR sec - lag(sec) OVER w > 1800
+                              THEN 1 ELSE 0 END AS new_s
+                    FROM e
+                    WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+                ),
+                s AS (
+                    SELECT *, SUM(new_s) OVER (
+                        PARTITION BY user_id ORDER BY sec, event_id
+                        ROWS UNBOUNDED PRECEDING
+                    ) AS session_id
+                    FROM l
+                )
+                SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                       count(*) AS n_events,
+                       min(sec) AS start_sec, max(sec) AS end_sec
+                FROM s GROUP BY user_id, session_id
+                ORDER BY user_id, session_id
             """,
             "revenue_by_nation": """
                 SELECT n.n_name,

@@ -558,6 +558,52 @@ def events_tumbling(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def events_sessionize(sf_dir: str, gap_sec: int = 1800) -> ray.data.Dataset:
+    """Session windows per user (gap > 30 min starts a new session):
+    (user_id, session_id, n_events, start_sec, end_sec).
+
+    The streaming-shaped pattern from the guide: partition by key, sort
+    by ts within the partition, window inside the group. Users hash into
+    buckets; each bucket sessionizes all its users vectorized."""
+
+    def to_secs(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["sec"] = df["ts"].astype("datetime64[s]").astype("int64")
+        return pa.Table.from_pandas(
+            df[["user_id", "event_id", "sec"]], preserve_index=False
+        )
+
+    def sessionize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "sec", "event_id"], kind="stable")
+        new_user = df["user_id"].ne(df["user_id"].shift())
+        gap = df["sec"].diff().gt(gap_sec)
+        df["session_id"] = (new_user | gap).groupby(
+            df["user_id"].to_numpy()
+        ).cumsum() if False else (new_user | gap).cumsum()
+        # session_id should restart per user: renumber within user
+        df["session_id"] = (
+            df.groupby("user_id", sort=False)["session_id"]
+            .transform(lambda s: s - s.iloc[0] + 1)
+        )
+        g = df.groupby(["user_id", "session_id"], as_index=False).agg(
+            n_events=("event_id", "size"),
+            start_sec=("sec", "min"),
+            end_sec=("sec", "max"),
+        )
+        return g
+
+    return (
+        bucketed_apply(
+            ray.data.read_parquet(
+                f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+            ).map_batches(to_secs, batch_format="pyarrow"),
+            ["user_id"],
+            sessionize,
+        )
+        .sort(["user_id", "session_id"])
+    )
+
+
 # ---------------------------------------------------------------------------
 # relational: broadcast-join revenue per nation (TPC-H Q5-ish shape)
 # ---------------------------------------------------------------------------

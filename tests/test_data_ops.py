@@ -141,3 +141,32 @@ def test_media_decode_stub():
     assert len(df) == 500
     assert (df.width == df.n_bytes % 640).all()
     assert (df.n_frames == df.n_bytes % 16).all()
+
+
+def test_events_sessionize_gap_semantics(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import numpy as np
+
+    from codetoneo4j_ray.pipelines.data_ops import events_sessionize
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    mins = np.timedelta64(60, "s")
+    rows = [
+        (1, 7, base),                    # user 7, session 1
+        (2, 7, base + 10 * mins),        # same session (gap 10m)
+        (3, 7, base + 50 * mins),        # new session (gap 40m > 30m)
+        (4, 9, base),                    # user 9, own session
+    ]
+    pq.write_table(
+        pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+            "value": pa.array([0.0] * 4, pa.float64()),
+        }),
+        str(tmp_path / "events.parquet"),
+    )
+    df = events_sessionize(str(tmp_path)).to_pandas()
+    got = {(r.user_id, r.session_id): r.n_events for r in df.itertuples()}
+    assert got == {(7, 1): 2, (7, 2): 1, (9, 1): 1}
