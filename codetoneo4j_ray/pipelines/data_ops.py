@@ -577,10 +577,8 @@ def events_sessionize(sf_dir: str, gap_sec: int = 1800) -> ray.data.Dataset:
         df = df.sort_values(["user_id", "sec", "event_id"], kind="stable")
         new_user = df["user_id"].ne(df["user_id"].shift())
         gap = df["sec"].diff().gt(gap_sec)
-        df["session_id"] = (new_user | gap).groupby(
-            df["user_id"].to_numpy()
-        ).cumsum() if False else (new_user | gap).cumsum()
-        # session_id should restart per user: renumber within user
+        # global running session counter, then renumbered 1..n per user
+        df["session_id"] = (new_user | gap).cumsum()
         df["session_id"] = (
             df.groupby("user_id", sort=False)["session_id"]
             .transform(lambda s: s - s.iloc[0] + 1)
