@@ -14,9 +14,7 @@ declaration initializers — the full MemberDependencyExtractor node-kind
 matrix. Remaining deltas vs the Roslyn semantic model (recall-only for
 the resolved-edge set): implicit conversions at argument/return/
 assignment positions, multi-token operand typing;
-overload resolution is arity-based, not type-based; receiver field
-typing is
-same-file only across partial-class fragments; external (non-repo,
+overload resolution is arity-based, not type-based; external (non-repo,
 non-well-known-BCL) type names in keys stay as written rather than
 assembly-qualified — internally consistent, so linking is unaffected.
 """

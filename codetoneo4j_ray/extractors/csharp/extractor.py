@@ -50,6 +50,11 @@ def skim_file(repo: str, file_key: str, content: str) -> tuple[list[dict], list[
 
     def walk(decl: CsTypeDecl, containing_names: tuple[str, ...]):
         full = _full_name(decl.namespace, containing_names, decl.name)
+        members = "\x1e".join(
+            f"{m.name}\x1d{m.type.written()}"
+            for m in decl.members
+            if m.kind in ("field", "property", "event") and m.type is not None
+        )
         type_rows.append(
             {
                 "repo": repo,
@@ -59,6 +64,7 @@ def skim_file(repo: str, file_key: str, content: str) -> tuple[list[dict], list[
                 "kind": decl.kind,
                 "bases": ";".join(b.written() for b in decl.bases),
                 "type_params": ";".join(decl.type_params),
+                "members": members,
             }
         )
         for n in decl.nested:
@@ -76,6 +82,17 @@ def skim_file(repo: str, file_key: str, content: str) -> tuple[list[dict], list[
     return type_rows, using_rows
 
 
+def parse_member_types(blob: str | None) -> dict:
+    if not blob:
+        return {}
+    out = {}
+    for rec in blob.split("\x1e"):
+        name, _sep, text = rec.partition("\x1d")
+        if name and text:
+            out[name] = text
+    return out
+
+
 def build_repo_index(type_rows: list[dict], using_rows: list[dict]) -> RepoTypeIndex:
     idx = RepoTypeIndex()
     for r in type_rows:
@@ -87,6 +104,7 @@ def build_repo_index(type_rows: list[dict], using_rows: list[dict]) -> RepoTypeI
                 r["kind"],
                 tuple(b for b in r["bases"].split(";") if b),
                 tuple(p for p in r["type_params"].split(";") if p),
+                parse_member_types(r.get("members")),
             )
         )
     for r in using_rows:
@@ -242,7 +260,7 @@ class _Emitter:
                 self._emit_enum_member(decl, m, key, display)
             return
 
-        member_types = self._member_type_map(decl)
+        member_types = self._member_type_map(decl, scope)
         for m in decl.members:
             self._emit_member(decl, m, key, display, scope, member_types)
         for n in decl.nested:
@@ -272,8 +290,45 @@ class _Emitter:
             return f"{parent_display}.{own}"
         return f"{decl.namespace}.{own}" if decl.namespace else own
 
-    def _member_type_map(self, decl: CsTypeDecl) -> dict[str, TypeRef]:
+    def _member_type_map(self, decl: CsTypeDecl,
+                         scope: ResolutionScope) -> dict[str, TypeRef]:
+        """Receiver typing map: repo-wide (partial-class fragments and
+        internal base classes via the pass-A index), same-file declarations
+        winning on name clashes."""
         out: dict[str, TypeRef] = {}
+        # walk internal base chain (depth-capped), bases first so closer
+        # declarations override
+        chain: list = []
+        info = self.index.lookup(
+            _full_name(decl.namespace, decl.containing, decl.name),
+            len(decl.type_params),
+        )
+        seen = set()
+        frontier = [info] if info is not None else []
+        depth = 0
+        while frontier and depth < 4:
+            nxt = []
+            for ti in frontier:
+                if ti is None or ti.full_name in seen:
+                    continue
+                seen.add(ti.full_name)
+                chain.append(ti)
+                for btext in ti.bases:
+                    tref = _parse_type_text(btext)
+                    if tref is None or tref.form != "named":
+                        continue
+                    r = self.resolver.resolve_named(
+                        tref.parts, len(tref.args), scope
+                    )
+                    if r.info is not None:
+                        nxt.append(r.info)
+            frontier = nxt
+            depth += 1
+        for ti in reversed(chain):
+            for name, text in ti.member_types.items():
+                tref = _parse_type_text(text)
+                if tref is not None:
+                    out[name] = tref
         for m in decl.members:
             if m.kind in ("field", "property", "event") and m.type is not None:
                 out[m.name] = m.type
@@ -562,6 +617,23 @@ def _member_accessibility(decl: CsTypeDecl, m: CsMember) -> str:
 # ---------------------------------------------------------------------------
 # documentation XML (GetDocumentationCommentXml analog)
 # ---------------------------------------------------------------------------
+
+
+_TYPE_TEXT_CACHE: dict[str, "TypeRef | None"] = {}
+
+
+def _parse_type_text(text: str):
+    """Parse a written type text into a TypeRef (memoized)."""
+    if text in _TYPE_TEXT_CACHE:
+        return _TYPE_TEXT_CACHE[text]
+    from codetoneo4j_ray.extractors.csharp.lexer import tokenize
+    from codetoneo4j_ray.extractors.csharp.parser import _Parser, parse_type_ref
+
+    toks = [t for t in tokenize(text) if t.kind not in ("comment", "doc")]
+    p = _Parser(toks, [[] for _ in toks])
+    tref = parse_type_ref(p)
+    _TYPE_TEXT_CACHE[text] = tref
+    return tref
 
 
 def _doc_xml(doc: str | None, doc_id: str) -> str | None:

@@ -254,6 +254,9 @@ class TypeInfo:
     kind: str            # class|struct|interface|enum|record|record_struct|delegate
     bases: tuple[str, ...] = ()   # base-list type texts as written (resolved in stage 2)
     type_params: tuple[str, ...] = ()
+    # field/property/event name → type text as written: repo-wide receiver
+    # typing (covers partial-class fragments in other files)
+    member_types: dict = field(default_factory=dict)
 
 
 class RepoTypeIndex:

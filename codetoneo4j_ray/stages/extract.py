@@ -82,6 +82,7 @@ _TYPE_INDEX_SCHEMA = pa.schema(
         ("kind", pa.string()),
         ("bases", pa.string()),
         ("type_params", pa.string()),
+        ("members", pa.string()),
         ("file_key", pa.string()),
         ("text", pa.string()),
         ("is_static", pa.bool_()),
@@ -141,18 +142,24 @@ def build_type_index(corpus: ray.data.Dataset) -> dict[str, RepoTypeIndex]:
         for repo, g in df.groupby("repo", sort=False):
             idx = RepoTypeIndex()
             tmask = (g["rec_type"] == "type").to_numpy()
-            for is_type, full, arity, isval, kind, bases, tparams, fk, text in zip(
+            for is_type, full, arity, isval, kind, bases, tparams, mem, fk, text in zip(
                 tmask, g["full_name"].to_numpy(), g["arity"].to_numpy(),
                 g["is_value"].to_numpy(), g["kind"].to_numpy(),
                 g["bases"].to_numpy(), g["type_params"].to_numpy(),
+                g["members"].to_numpy(),
                 g["file_key"].to_numpy(), g["text"].to_numpy(),
             ):
                 if is_type:
+                    from codetoneo4j_ray.extractors.csharp.extractor import (
+                        parse_member_types,
+                    )
+
                     idx.add_type(
                         TypeInfo(
                             full, int(arity), bool(isval), kind,
                             tuple(b for b in bases.split(";") if b),
                             tuple(p for p in tparams.split(";") if p),
+                            parse_member_types(mem),
                         )
                     )
                 else:

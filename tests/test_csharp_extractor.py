@@ -474,3 +474,26 @@ public class C
     inv = [(m["ctx_receiver"], m["ctx_name"], m["ctx_argc"])
            for m in ctx.mentions if m["pred"] == "src__INVOKES"]
     assert ("N.C", "Fmt", 1) in inv
+
+
+def test_cross_file_receiver_typing():
+    # inherited + partial-fragment fields typed via the pass-A index
+    out = run({
+        "src/Base.cs": "namespace N;\npublic class Base { protected Svc _svc; }",
+        "src/Svc.cs": "namespace N;\npublic class Svc { public void Ping() { } }",
+        "src/P1.cs": "namespace N;\npublic partial class P : Base { private Svc _other; }",
+        "src/P2.cs": """namespace N;
+public partial class P
+{
+    public void Go()
+    {
+        _svc.Ping();
+        _other.Hint();
+    }
+}
+""",
+    })
+    inv = {(m["ctx_receiver"], m["ctx_name"])
+           for m in out["src/P2.cs"].mentions if m["pred"] == "src__INVOKES"}
+    assert ("N.Svc", "Ping") in inv   # inherited field, declared in Base.cs
+    assert ("N.Svc", "Hint") in inv   # partial-fragment field from P1.cs
