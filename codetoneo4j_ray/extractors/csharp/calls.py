@@ -45,6 +45,7 @@ def scan_body(
     param_types: dict[str, TypeRef],
     member_types: dict[str, TypeRef],
     method_names: frozenset[str] = frozenset(),
+    return_type: TypeRef | None = None,
 ) -> list[CallSite]:
     """Scan one body token range for call sites.
 
@@ -176,6 +177,8 @@ def scan_body(
                             sites.append(
                                 CallSite("conv", "", tref, (), -1, t.line, src)
                             )
+                            i = sub.i + 3  # skip single-token initializer
+                            continue
                     i = sub.i  # continue scanning from the declared name
                     continue
 
@@ -216,6 +219,28 @@ def scan_body(
                         )
                         if tref is not None:
                             sites.append(CallSite("mgroup", v, tref, (), -2, t.line))
+
+        # implicit conversion at return position: 'return <typed single>;'
+        if (
+            t.kind == "id" and v == "return" and return_type is not None
+        ):
+            src = _expr_head_type(code, i + 1, end, locals_map, member_types)
+            if src is not None and src.written() != return_type.written():
+                sites.append(CallSite("conv", "", return_type, (), -1, t.line, src))
+
+        # implicit conversion at assignment: 'target = <typed single>;'
+        # ('=' is a lone token: '=='/'=>'/'+=' lex as single other tokens)
+        if t.kind == "punct" and v == "=" and i - 1 > start and i + 1 < end:
+            tgt_t = code[i - 1]
+            if tgt_t.kind == "id":
+                target = locals_map.get(tgt_t.value) or member_types.get(tgt_t.value)
+                src = _expr_head_type(code, i + 1, end, locals_map, member_types)
+                if (
+                    target is not None
+                    and src is not None
+                    and src.written() != target.written()
+                ):
+                    sites.append(CallSite("conv", "", target, (), -1, t.line, src))
 
         # user-defined unary operator use: op <typed operand> / <typed>++/--
         # (Prefix/PostfixUnaryExpressionSyntax — MemberDependencyExtractor
@@ -385,9 +410,16 @@ def _build_call(
         return CallSite("call", name, None, (), argc, line)
     if chain == ["base"]:
         return CallSite("call_base", name, None, (), argc, line)
-    if len(chain) == 1:
-        tref = locals_map.get(chain[0]) or member_types.get(chain[0])
-        if tref is not None:
+    head = chain[0]
+    if head == "this" and len(chain) > 1:
+        chain = chain[1:]
+        head = chain[0]
+    tref = locals_map.get(head) or member_types.get(head)
+    if tref is not None:
+        if len(chain) == 1:
             return CallSite("call", name, tref, (), argc, line)
+        # property/field chain off a typed head (x.Prop.M()): the
+        # extractor walks the remaining members through the type index
+        return CallSite("call", name, tref, tuple(chain[1:]), argc, line)
     # static call via (possibly qualified) type name
     return CallSite("call", name, None, tuple(chain), argc, line)

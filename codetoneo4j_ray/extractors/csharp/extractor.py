@@ -451,7 +451,9 @@ class _Emitter:
         method_names = frozenset(
             mm.name for mm in decl.members if mm.kind == "method"
         )
-        sites = scan_body(self.parsed.code, m.body, params, member_types, method_names)
+        ret = m.type if m.kind == "method" else None
+        sites = scan_body(self.parsed.code, m.body, params, member_types,
+                          method_names, ret)
         seen: set[tuple] = set()  # per-method seenCallees dedup
         for s in sites:
             rec = self._site_receiver_display(s, type_display, scope)
@@ -514,7 +516,27 @@ class _Emitter:
             return (type_display, "call_base")
         if s.receiver is not None:
             r = self.resolver.display(s.receiver, scope)
-            return (r.display, "call") if r.found else None
+            if not r.found:
+                return None
+            # walk a property/field chain off the typed head through the
+            # index's member-type map (x.Prop.Sub.M() → type of Sub)
+            info = r.info
+            display = r.display
+            for member in s.receiver_chain:
+                if info is None:
+                    return None
+                text = info.member_types.get(member)
+                if text is None:
+                    return None
+                tref = _parse_type_text(text)
+                if tref is None:
+                    return None
+                r2 = self.resolver.display(tref, scope)
+                if not r2.found:
+                    return None
+                info = r2.info
+                display = r2.display
+            return (display, "call")
         if s.receiver_chain:
             r = self.resolver.resolve_named(list(s.receiver_chain), 0, scope)
             return (r.display, "call") if r.found else None

@@ -497,3 +497,32 @@ public partial class P
            for m in out["src/P2.cs"].mentions if m["pred"] == "src__INVOKES"}
     assert ("N.Svc", "Ping") in inv   # inherited field, declared in Base.cs
     assert ("N.Svc", "Hint") in inv   # partial-fragment field from P1.cs
+
+
+def test_chain_and_conversion_positions():
+    out = run({"src/A.cs": """namespace N;
+public class Client { public void Send() { } }
+public class Svc { public Client Conn { get; set; } }
+public class Money
+{
+    public static implicit operator Money(int cents) { return new Money(); }
+    public Money() { }
+}
+public class Use
+{
+    private Svc _svc;
+    private Money _m;
+    public Money Go(int c)
+    {
+        _svc.Conn.Send();
+        _m = 250;
+        return c;
+    }
+}
+"""})
+    inv = {(m["ctx_kind"], m["ctx_receiver"], m["ctx_name"])
+           for m in out["src/A.cs"].mentions if m["pred"] == "src__INVOKES"}
+    # property-chain receiver resolved through the index
+    assert ("call", "N.Client", "Send") in inv
+    # assignment- and return-position implicit conversions (dedup to one)
+    assert ("conv", "N.Money", "int") in inv
