@@ -54,10 +54,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_topk": data_ops.ann_topk,
         "ann_ivf": data_ops.ann_ivf,
+        "embedding_kmeans": data_ops.embedding_kmeans,
         # text analysis
         "text_stats": data_ops.text_stats,
         "lang_id": data_ops.lang_id,
         "doc_quality": data_ops.doc_quality,
+        "top_tokens": data_ops.top_tokens,
         "doc_fingerprint": data_ops.doc_fingerprint,
         # streaming-shaped + relational
         "events_tumbling": data_ops.events_tumbling,
@@ -103,6 +105,25 @@ def oracle_sql() -> dict[str, str]:
                            AND ((length(regexp_replace(text, '[^.,!?;:]', '', 'g')) * 100)
                                 // length(text)) <= 20 AS keep
                 FROM documents ORDER BY doc_id
+            """,
+            "top_tokens": """
+                WITH toks AS (
+                    SELECT unnest(regexp_split_to_array(
+                        trim(lower(text)), '[ \t\n\r]+')) AS token
+                    FROM documents
+                ),
+                counted AS (
+                    SELECT token, count(*) AS n FROM toks
+                    WHERE token <> '' GROUP BY token
+                ),
+                ranked AS (
+                    SELECT token, n, row_number() OVER (
+                        ORDER BY n DESC, token
+                    ) AS "rank"
+                    FROM counted
+                )
+                SELECT "rank", token, n FROM ranked
+                WHERE "rank" <= 50 ORDER BY "rank"
             """,
             "doc_fingerprint": r"""
                 SELECT doc_id,

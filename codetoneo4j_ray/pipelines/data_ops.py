@@ -396,6 +396,73 @@ def ann_ivf(sf_dir: str, n_queries: int = 8, k: int = 10, n_cells: int = 16,
     return ray.data.from_arrow(table)
 
 
+def embedding_kmeans(sf_dir: str, k: int = 8, iters: int = 10) -> ray.data.Dataset:
+    """Deterministic distributed k-means over the embedding column:
+    (vec_id, cluster_id). Centers iterate on the driver (k×dim floats —
+    tiny); per-iteration assignment + partial sums run as one
+    map_batches over the data, merged driver-side — the classic
+    broadcast-iterate loop."""
+    import numpy as np_mod
+
+    ids, mat = _embedding_matrix(sf_dir)
+    rng = np_mod.random.RandomState(29)
+    centers = mat[rng.choice(len(mat), size=min(k, len(mat)), replace=False)].copy()
+
+    for _ in range(iters):
+        ref = ray.put(centers)
+
+        def partials(batch: pa.Table) -> pa.Table:
+            c = _cached_get(ref)
+            m = np_mod.stack(
+                [np_mod.asarray(v, dtype=np_mod.float64)
+                 for v in batch["embedding"].to_pylist()]
+            )
+            d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            rows_c, rows_n, rows_s = [], [], []
+            for ci in range(len(c)):
+                mask = assign == ci
+                if mask.any():
+                    rows_c.append(ci)
+                    rows_n.append(int(mask.sum()))
+                    rows_s.append(m[mask].sum(axis=0).tolist())
+            return pa.table(
+                {
+                    "cluster": pa.array(rows_c, pa.int32()),
+                    "n": pa.array(rows_n, pa.int64()),
+                    "s": pa.array(rows_s, pa.list_(pa.float64())),
+                }
+            )
+
+        parts = _emb(sf_dir).map_batches(partials, batch_format="pyarrow").to_pandas()
+        for ci in range(len(centers)):
+            sel = parts[parts["cluster"] == ci]
+            n = sel["n"].sum()
+            if n > 0:
+                centers[ci] = np_mod.sum(
+                    np_mod.stack(sel["s"].to_list()), axis=0
+                ) / n
+
+    ref = ray.put(centers)
+
+    def assign_final(batch: pa.Table) -> pa.Table:
+        c = _cached_get(ref)
+        vec_ids = batch["vec_id"]
+        m = np_mod.stack(
+            [np_mod.asarray(v, dtype=np_mod.float64)
+             for v in batch["embedding"].to_pylist()]
+        )
+        d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return pa.table(
+            {
+                "vec_id": vec_ids,
+                "cluster_id": pa.array(d2.argmin(axis=1).astype("int64"), pa.int64()),
+            }
+        )
+
+    return _emb(sf_dir).map_batches(assign_final, batch_format="pyarrow").sort("vec_id")
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
@@ -461,6 +528,55 @@ def lang_id(sf_dir: str) -> ray.data.Dataset:
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         classify, batch_format="pyarrow"
     ).sort("doc_id")
+
+
+def top_tokens(sf_dir: str, k: int = 50) -> ray.data.Dataset:
+    """Corpus-wide top-k token counts (whitespace tokens, lowercased):
+    the heavy-hitter aggregate — per-batch partial counts collapse each
+    hot token to one row per block before the shuffle."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for text in batch["text"].to_pylist():
+            for tok in text.lower().split():
+                counts[tok] = counts.get(tok, 0) + 1
+        return pa.table(
+            {
+                "token": pa.array(list(counts.keys()), pa.string()),
+                "n": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("token", as_index=False).agg(n=("n", "sum"))
+
+    merged = bucketed_apply(
+        _docs(sf_dir, ["text"]).map_batches(partial, batch_format="pyarrow"),
+        ["token"],
+        merge,
+    )
+    # top-k with deterministic ties: n desc, token asc
+    import pandas as pd_mod
+
+    def localtop(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(
+            ["n", "token"], ascending=[False, True], kind="stable"
+        ).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def final(df: pd_mod.DataFrame) -> pd_mod.DataFrame:
+        df = df.sort_values(["n", "token"], ascending=[False, True],
+                            kind="stable").head(k)
+        df = df.reset_index(drop=True)
+        df["rank"] = df.index + 1
+        return df[["rank", "token", "n"]]
+
+    return bucketed_apply(
+        merged.map_batches(localtop, batch_format="pyarrow"),
+        [],
+        final,
+        num_buckets=1,
+    ).sort("rank")
 
 
 def doc_quality(sf_dir: str) -> ray.data.Dataset:

@@ -55,6 +55,10 @@ def add_bucket_column(
     def add(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return batch.append_column("__bucket", pa.array([], pa.int32()))
+        if not key_cols:  # single global group (small final reductions)
+            return batch.append_column(
+                "__bucket", pa.array([0] * batch.num_rows, pa.int32())
+            )
         if len(key_cols) == 1:
             vals = batch[key_cols[0]].to_pylist()
             joined = [str(v) for v in vals]

@@ -170,3 +170,30 @@ def test_events_sessionize_gap_semantics(tmp_path):
     df = events_sessionize(str(tmp_path)).to_pandas()
     got = {(r.user_id, r.session_id): r.n_events for r in df.itertuples()}
     assert got == {(7, 1): 2, (7, 2): 1, (9, 1): 1}
+
+
+def test_top_tokens_matches_counter():
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from codetoneo4j_ray.pipelines.data_ops import top_tokens
+
+    df = top_tokens(SF).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["text"]).to_pandas()
+    c = Counter()
+    for t in docs["text"]:
+        c.update(t.lower().split())
+    expect = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    got = list(zip(df["token"], df["n"]))
+    assert got == expect
+
+
+def test_embedding_kmeans_deterministic_partition():
+    from codetoneo4j_ray.pipelines.data_ops import embedding_kmeans
+
+    a = embedding_kmeans(SF, k=4, iters=3).to_pandas()
+    b = embedding_kmeans(SF, k=4, iters=3).to_pandas()
+    assert a.equals(b)
+    assert a["cluster_id"].nunique() >= 2
+    assert len(a) == 500
