@@ -95,6 +95,10 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     timed("text_stats", data_ops.text_stats)
     timed("doc_fingerprint", data_ops.doc_fingerprint)
     timed("events_tumbling", data_ops.events_tumbling)
+    timed("events_sessionize", data_ops.events_sessionize)
+    timed("top_tokens", data_ops.top_tokens)
+    timed("doc_quality", data_ops.doc_quality)
+    timed("embedding_kmeans", data_ops.embedding_kmeans)
     timed("revenue_by_nation", data_ops.revenue_by_nation)
     timed("pricing_summary", data_ops.pricing_summary)
     timed("media_decode_meta", multimodal.media_decode_meta)
