@@ -526,3 +526,23 @@ public class Use
     assert ("call", "N.Client", "Send") in inv
     # assignment- and return-position implicit conversions (dedup to one)
     assert ("conv", "N.Money", "int") in inv
+
+
+def test_event_forms():
+    # field-like (multi-declarator), accessor-form, nullable event types
+    ctx = run({"src/A.cs": """using System;
+namespace N;
+public class C
+{
+    public event EventHandler A, B;
+    public event EventHandler Custom { add { } remove { } }
+    public event EventHandler? MaybeNull;
+}
+"""})["src/A.cs"]
+    got = keys(ctx)
+    assert {"repo:N.C.A", "repo:N.C.B", "repo:N.C.Custom", "repo:N.C.MaybeNull"} <= got
+    by_key = {s["key"]: s for s in ctx.symbols}
+    assert by_key["repo:N.C.Custom"]["kind"] == "Event"
+    deps = mentions(ctx, "src__DEPENDS_ON")
+    # event type dep emitted per declarator (System.EventHandler resolved)
+    assert ("repo:N.C", "src__DEPENDS_ON", "repo:System.EventHandler") in deps

@@ -211,3 +211,16 @@ class TestDispatchAndExclusion:
 
     def test_no_handler(self):
         assert extract_file("r", "a/readme.md", "x", "Private") is None
+
+
+class TestXamlResources:
+    def test_x_key_resource_suffix(self):
+        # x:Key embeds in the element key like x:Name (XamlHandler.cs:96-115)
+        ctx = run("a/R.xaml", """<ResourceDictionary
+    xmlns="http://schemas.microsoft.com/dotnet/2021/maui"
+    xmlns:x="http://schemas.microsoft.com/winfx/2009/xaml">
+  <Color x:Key="Primary">#FF0000</Color>
+</ResourceDictionary>""")
+        color = sym(ctx, kind="XamlElement", name="Primary")
+        assert color and color[0]["key"] == "a/R.xaml:Color:Primary:4"
+        assert color[0]["fqn"] == "Color:Primary"
