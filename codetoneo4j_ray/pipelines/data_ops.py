@@ -155,31 +155,118 @@ def doc_dedup_minhash(sf_dir: str, jaccard_threshold: float = 0.8) -> ray.data.D
         ["band", "bucket"],
         bucket_pairs,
     )
-    # dedup candidate pairs across bands, then verify exact Jaccard with a
-    # broadcast shingle table (test scale; partition by doc_a at scale)
+    # dedup candidate pairs across bands
     cand = bucketed_apply(
         candidates, ["doc_a", "doc_b"], lambda df: df.drop_duplicates()
     )
-    docs_local = _docs(sf_dir, ["doc_id", "text"]).take_all()
-    shingle_map = {r["doc_id"]: _shingles(r["text"]) for r in docs_local}
-    sm_ref = ray.put(shingle_map)
 
-    def verify(batch: pa.Table) -> pa.Table:
+    # Exact-Jaccard verification, fully distributed: candidates bucket-join
+    # back to per-doc shingle sets on doc_a, then doc_b (two co-partitioned
+    # exchanges of metadata-sized rows) — no whole-corpus driver state.
+    def doc_shingles(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        blobs = [
+            np.fromiter(sorted(_shingles(t)), dtype=np.uint64).tobytes()
+            for t in texts
+        ]
+        n = len(ids)
+        return pa.table(
+            {
+                "key": pa.array(ids, pa.int64()),
+                "other": pa.nulls(n, pa.int64()),
+                "sh": pa.array(blobs, pa.binary()),
+                "side": pa.array(["s"] * n, pa.string()),
+            }
+        )
+
+    shingles_ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        doc_shingles, batch_format="pyarrow"
+    )
+
+    def cand_rows(batch) -> pa.Table:
+        if isinstance(batch, pd.DataFrame):
+            batch = pa.Table.from_pandas(batch, preserve_index=False)
         if batch.num_rows == 0 or "doc_a" not in batch.column_names:
-            return pa.table({"doc_a": pa.array([], pa.int64()),
-                             "doc_b": pa.array([], pa.int64())})
-        sm = _cached_get(sm_ref)
-        keep = []
-        a_l = batch["doc_a"].to_pylist()
-        b_l = batch["doc_b"].to_pylist()
-        for a, b in zip(a_l, b_l):
-            sa, sb = sm.get(a, set()), sm.get(b, set())
-            union = len(sa | sb)
-            j = (len(sa & sb) / union) if union else 1.0
-            keep.append(j >= jaccard_threshold)
-        return batch.filter(pa.array(keep, pa.bool_()))
+            return pa.table(
+                {"key": pa.array([], pa.int64()), "other": pa.array([], pa.int64()),
+                 "sh": pa.array([], pa.binary()), "side": pa.array([], pa.string())}
+            )
+        n = batch.num_rows
+        return pa.table(
+            {
+                "key": batch["doc_a"],
+                "other": batch["doc_b"],
+                "sh": pa.nulls(n, pa.binary()),
+                "side": pa.array(["c"] * n, pa.string()),
+            }
+        )
 
-    return cand.map_batches(verify, batch_format="pyarrow").sort(["doc_a", "doc_b"])
+    def attach_a(df: pd.DataFrame) -> pd.DataFrame:
+        sh_map = dict(zip(df.loc[df["side"] == "s", "key"],
+                          df.loc[df["side"] == "s", "sh"]))
+        c = df[df["side"] == "c"]
+        # re-key on doc_b for the second pass; carry doc_a's shingles
+        return pd.DataFrame(
+            {
+                "key": c["other"].astype("int64"),
+                "other": c["key"].astype("int64"),
+                "sh": c["key"].map(sh_map),
+                "side": "c",
+            }
+        )
+
+    def verify_b(df: pd.DataFrame) -> pd.DataFrame:
+        sh_map = dict(zip(df.loc[df["side"] == "s", "key"],
+                          df.loc[df["side"] == "s", "sh"]))
+        c = df[df["side"] == "c"]
+        out_a: list[int] = []
+        out_b: list[int] = []
+        for b, a, sh_a in zip(c["key"], c["other"], c["sh"]):
+            sa = np.frombuffer(sh_a if sh_a is not None else b"", dtype=np.uint64)
+            sb = np.frombuffer(sh_map.get(b, b""), dtype=np.uint64)
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            j = (inter / union) if union else 1.0
+            if j >= jaccard_threshold:
+                out_a.append(int(a))
+                out_b.append(int(b))
+        return pd.DataFrame(
+            {"doc_a": pd.Series(out_a, dtype="int64"),
+             "doc_b": pd.Series(out_b, dtype="int64")}
+        )
+
+    _JOIN_SCHEMA = pa.schema(
+        [("key", pa.int64()), ("other", pa.int64()),
+         ("sh", pa.binary()), ("side", pa.string())]
+    )
+
+    def norm(batch: pa.Table) -> pa.Table:
+        # empty pandas buckets infer null-typed columns; cast to canonical
+        cols = {}
+        for fld in _JOIN_SCHEMA:
+            col = batch[fld.name]
+            cols[fld.name] = (
+                pa.nulls(batch.num_rows, fld.type)
+                if pa.types.is_null(col.type)
+                else col.combine_chunks().cast(fld.type)
+            )
+        return pa.table(cols, schema=_JOIN_SCHEMA)
+
+    pass_a = bucketed_apply(
+        cand.map_batches(cand_rows, batch_format="pyarrow")
+        .map_batches(norm, batch_format="pyarrow")
+        .union(shingles_ds.map_batches(norm, batch_format="pyarrow")),
+        ["key"],
+        attach_a,
+    )
+    verified = bucketed_apply(
+        pass_a.map_batches(norm, batch_format="pyarrow")
+        .union(shingles_ds.map_batches(norm, batch_format="pyarrow")),
+        ["key"],
+        verify_b,
+    )
+    return verified.sort(["doc_a", "doc_b"])
 
 
 # ---------------------------------------------------------------------------
@@ -255,21 +342,60 @@ def doc_ngram_jaccard(sf_dir: str, threshold: float = 0.5) -> ray.data.Dataset:
 # ---------------------------------------------------------------------------
 
 
-def _embedding_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
-    rows = _emb(sf_dir).take_all()
+def _batch_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    vec_ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+    m = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in batch["embedding"].to_pylist()]
+    )
+    return vec_ids, m
+
+
+def _query_vectors(sf_dir: str, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Embeddings of the n smallest vec_ids — distributed min-k (per-batch
+    partial top-n, driver merge of n-row partials), never the full table."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        return pa.Table.from_pandas(
+            df.nsmallest(n, "vec_id"), preserve_index=False
+        )
+
+    rows = _emb(sf_dir).map_batches(partial, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: r["vec_id"])
+    rows = rows[:n]
     ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
     mat = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
-    order = np.argsort(ids)
-    return ids[order], mat[order]
+    return ids, mat
+
+
+def _train_centroids(
+    sf_dir: str, n_cells: int, sample_rows: int = 4096, iters: int = 5,
+    normalize: bool = True, seed: int = 13,
+) -> np.ndarray:
+    """Spherical k-means-lite centroids from a BOUNDED head sample (the
+    IVF training convention) — k×dim result, sample never exceeds
+    ``sample_rows`` regardless of table size."""
+    rows = _emb(sf_dir).limit(sample_rows).take_all()
+    m = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    if normalize:
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    rng = np.random.RandomState(seed)
+    centers = m[rng.choice(len(m), size=min(n_cells, len(m)), replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(m @ centers.T, axis=1)
+        for c in range(len(centers)):
+            members = m[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                centers[c] = v / (np.linalg.norm(v) or 1.0) if normalize else v
+    return centers
 
 
 def ann_topk(sf_dir: str, n_queries: int = 8, k: int = 10) -> ray.data.Dataset:
     """Brute-force cosine top-k: queries = embeddings of the first
     n_queries vec_ids; numpy matmul per batch against the broadcast query
     matrix (``ray.put`` once). Ties broken by vec_id ascending."""
-    ids, mat = _embedding_matrix(sf_dir)
-    q_ids = ids[:n_queries]
-    q = mat[:n_queries]
+    q_ids, q = _query_vectors(sf_dir, n_queries)
     qn = q / np.linalg.norm(q, axis=1, keepdims=True)
     q_ref = ray.put((q_ids, qn))
 
@@ -313,87 +439,125 @@ def ann_topk(sf_dir: str, n_queries: int = 8, k: int = 10) -> ray.data.Dataset:
     )
 
 
-def embedding_near_dup(sf_dir: str, threshold: float = 0.95) -> ray.data.Dataset:
-    """All pairs (a < b) with cosine ≥ threshold — brute force per batch
-    against the broadcast full matrix (IVF/LSH bucketing is the scale
-    path, see ann_ivf)."""
-    ids, mat = _embedding_matrix(sf_dir)
-    n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    ref = ray.put((ids, n))
+def embedding_near_dup(
+    sf_dir: str, threshold: float = 0.95, n_cells: int = 16, n_assign: int = 2
+) -> ray.data.Dataset:
+    """All pairs (a < b) with cosine ≥ threshold, IVF-cell-blocked:
+    sample-trained centroids partition the space; each vector lands in
+    its ``n_assign`` nearest cells (multi-assignment keeps boundary-
+    straddling near-dups in a shared cell); all-pairs cosine runs only
+    within cells via a hash-partitioned bucket exchange. No full-matrix
+    broadcast — per-worker state is the k×dim centroid block."""
+    centers = _train_centroids(sf_dir, n_cells)
+    c_ref = ray.put(centers)
 
-    def pairs_fn(batch: pa.Table) -> pa.Table:
-        all_ids, all_n = _cached_get(ref)
-        vec_ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
-        m = np.stack(
-            [np.asarray(v, dtype=np.float64) for v in batch["embedding"].to_pylist()]
-        )
-        m = m / np.linalg.norm(m, axis=1, keepdims=True)
-        sims = m @ all_n.T
-        a_l, b_l = [], []
-        for i in range(sims.shape[0]):
-            hits = np.nonzero(sims[i] >= threshold)[0]
-            for h in hits:
-                a, b = int(vec_ids[i]), int(all_ids[h])
-                if a < b:
-                    a_l.append(a)
-                    b_l.append(b)
+    def assign_cells(batch: pa.Table) -> pa.Table:
+        c = _cached_get(c_ref)
+        vec_ids, m = _batch_matrix(batch)
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = mn @ c.T
+        near = np.argsort(-sims, axis=1)[:, :n_assign]
+        n_rows = len(vec_ids)
         return pa.table(
-            {"vec_a": pa.array(a_l, pa.int64()), "vec_b": pa.array(b_l, pa.int64())}
+            {
+                "cell": pa.array(near.ravel().astype("int64"), pa.int64()),
+                "vec_id": pa.array(np.repeat(vec_ids, n_assign), pa.int64()),
+                "vec": pa.array(
+                    [mn[i].tobytes() for i in range(n_rows) for _ in range(n_assign)],
+                    pa.binary(),
+                ),
+            }
         )
 
+    def cell_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out_a: list[int] = []
+        out_b: list[int] = []
+        for _cell, g in df.groupby("cell", sort=False):
+            g = g.drop_duplicates(subset="vec_id")
+            ids = g["vec_id"].to_numpy()
+            m = np.stack([np.frombuffer(v, dtype=np.float64) for v in g["vec"]])
+            sims = m @ m.T
+            ai, bi = np.nonzero(sims >= threshold)
+            for i, j in zip(ai, bi):
+                a, b = int(ids[i]), int(ids[j])
+                if a < b:
+                    out_a.append(a)
+                    out_b.append(b)
+        return pd.DataFrame(
+            {"vec_a": pd.Series(out_a, dtype="int64"),
+             "vec_b": pd.Series(out_b, dtype="int64")}
+        )
+
+    def norm_pairs(batch: pa.Table) -> pa.Table:
+        # pin the (vec_a, vec_b) schema even when every bucket was empty
+        cols = {}
+        for name in ("vec_a", "vec_b"):
+            col = (batch[name] if name in batch.column_names
+                   else pa.nulls(batch.num_rows, pa.int64()))
+            cols[name] = (
+                pa.nulls(batch.num_rows, pa.int64())
+                if pa.types.is_null(col.type)
+                else col.combine_chunks().cast(pa.int64())
+            )
+        return pa.table(cols)
+
+    cells = _emb(sf_dir).map_batches(assign_cells, batch_format="pyarrow")
+    pairs = bucketed_apply(cells, ["cell"], cell_pairs)
+    # a pair found in both of its shared cells appears twice → distinct
     return (
-        _emb(sf_dir)
-        .map_batches(pairs_fn, batch_format="pyarrow")
+        bucketed_apply(pairs, ["vec_a", "vec_b"],
+                       lambda df: df.drop_duplicates())
+        .map_batches(norm_pairs, batch_format="pyarrow")
         .sort(["vec_a", "vec_b"])
     )
 
 
 def ann_ivf(sf_dir: str, n_queries: int = 8, k: int = 10, n_cells: int = 16,
             n_probe: int = 4) -> ray.data.Dataset:
-    """IVF variant: k-means-lite (deterministic seeded init, 5 Lloyd
-    iterations on a sample) partitions vectors into cells; queries probe
-    the n_probe nearest cells only. Approximate — rows-only check."""
-    ids, mat = _embedding_matrix(sf_dir)
-    n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    rng = np.random.RandomState(13)
-    centers = n[rng.choice(len(n), size=min(n_cells, len(n)), replace=False)]
-    for _ in range(5):
-        assign = np.argmax(n @ centers.T, axis=1)
-        for c in range(len(centers)):
-            members = n[assign == c]
-            if len(members):
-                v = members.mean(axis=0)
-                centers[c] = v / (np.linalg.norm(v) or 1.0)
-    assign = np.argmax(n @ centers.T, axis=1)
-    q_ids, qn = ids[:n_queries], n[:n_queries]
+    """IVF ANN as a distributed pipeline: centroids train on a bounded
+    sample (driver holds k×dim only); the inverted-file *scan* runs as
+    map_batches — each batch assigns its vectors to cells and scores them
+    against only the queries probing that cell set; per-query top-k
+    merges via groupby. Approximate — recall vs ann_topk in pytest."""
+    centers = _train_centroids(sf_dir, n_cells)
+    q_ids, q = _query_vectors(sf_dir, n_queries)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
     probe = np.argsort(-(qn @ centers.T), axis=1)[:, :n_probe]
+    ref = ray.put((centers, q_ids, qn, probe))
 
-    out_rows = []
-    for qi in range(len(q_ids)):
-        cand_mask = np.isin(assign, probe[qi])
-        cand_ids = ids[cand_mask]
-        sims = qn[qi] @ n[cand_mask].T
-        order = np.lexsort((cand_ids, -np.floor(sims * 1e6)))
-        rank = 0
-        for idx in order:
-            if cand_ids[idx] == q_ids[qi]:
-                continue
-            rank += 1
-            out_rows.append(
-                (int(q_ids[qi]), rank, int(cand_ids[idx]),
-                 int(np.floor(sims[idx] * 1e6)))
-            )
-            if rank >= k:
-                break
-    table = pa.table(
-        {
-            "query_id": pa.array([r[0] for r in out_rows], pa.int64()),
-            "rank": pa.array([r[1] for r in out_rows], pa.int64()),
-            "vec_id": pa.array([r[2] for r in out_rows], pa.int64()),
-            "sim_micro": pa.array([r[3] for r in out_rows], pa.int64()),
-        }
+    def scan(batch: pa.Table) -> pa.Table:
+        c, b_q_ids, b_qn, b_probe = _cached_get(ref)
+        vec_ids, m = _batch_matrix(batch)
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        assign = np.argmax(mn @ c.T, axis=1)
+        sims = b_qn @ mn.T  # (Q, B)
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(b_q_ids)):
+            mask = np.isin(assign, b_probe[qi]) & (vec_ids != b_q_ids[qi])
+            for bi in np.nonzero(mask)[0]:
+                out_q.append(int(b_q_ids[qi]))
+                out_v.append(int(vec_ids[bi]))
+                out_s.append(int(np.floor(sims[qi, bi] * 1_000_000)))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "sim_micro": pa.array(out_s, pa.int64()),
+            }
+        )
+
+    def topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(
+            ["sim_micro", "vec_id"], ascending=[False, True], kind="stable"
+        ).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "rank", "vec_id", "sim_micro"]]
+
+    scored = _emb(sf_dir).map_batches(scan, batch_format="pyarrow")
+    return scored.groupby("query_id").map_groups(topk, batch_format="pandas").sort(
+        ["query_id", "rank"]
     )
-    return ray.data.from_arrow(table)
 
 
 def embedding_kmeans(sf_dir: str, k: int = 8, iters: int = 10) -> ray.data.Dataset:
@@ -404,9 +568,14 @@ def embedding_kmeans(sf_dir: str, k: int = 8, iters: int = 10) -> ray.data.Datas
     broadcast-iterate loop."""
     import numpy as np_mod
 
-    ids, mat = _embedding_matrix(sf_dir)
-    rng = np_mod.random.RandomState(29)
-    centers = mat[rng.choice(len(mat), size=min(k, len(mat)), replace=False)].copy()
+    # seed centers from a BOUNDED head sample (never the full table) and
+    # pin the embedding dataset once — the loop re-reads it every
+    # iteration otherwise
+    centers = _train_centroids(
+        sf_dir, k, sample_rows=max(1024, 64 * k), iters=0,
+        normalize=False, seed=29,
+    )
+    emb = _emb(sf_dir).materialize()
 
     for _ in range(iters):
         ref = ray.put(centers)
@@ -434,7 +603,7 @@ def embedding_kmeans(sf_dir: str, k: int = 8, iters: int = 10) -> ray.data.Datas
                 }
             )
 
-        parts = _emb(sf_dir).map_batches(partials, batch_format="pyarrow").to_pandas()
+        parts = emb.map_batches(partials, batch_format="pyarrow").to_pandas()
         for ci in range(len(centers)):
             sel = parts[parts["cluster"] == ci]
             n = sel["n"].sum()
@@ -460,7 +629,7 @@ def embedding_kmeans(sf_dir: str, k: int = 8, iters: int = 10) -> ray.data.Datas
             }
         )
 
-    return _emb(sf_dir).map_batches(assign_final, batch_format="pyarrow").sort("vec_id")
+    return emb.map_batches(assign_final, batch_format="pyarrow").sort("vec_id")
 
 
 # ---------------------------------------------------------------------------
@@ -724,54 +893,90 @@ def events_sessionize(sf_dir: str, gap_sec: int = 1800) -> ray.data.Dataset:
 
 
 def revenue_by_nation(sf_dir: str) -> ray.data.Dataset:
-    """lineitem ⋈ orders ⋈ customer ⋈ nation. The small dimension chain
-    (orders→customer→nation mapping) is built once and broadcast; the
-    fact table streams through map_batches — no shuffle join."""
-    orders = ray.data.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
-    ).to_pandas()
+    """lineitem ⋈ orders ⋈ customer ⋈ nation (TPC-H Q5-ish).
+
+    Join topology for fact-scale inputs: only the true dimensions
+    (customer ⋈ nation → custkey→n_name, bounded) are broadcast; the two
+    fact tables meet in a hash-partitioned bucket join on orderkey —
+    lineitem pre-aggregated per (orderkey) inside map_batches first, so
+    the shuffle carries one row per order, not one per line item."""
     customer = ray.data.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
     ).to_pandas()
     nation = ray.data.read_parquet(
         f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
     ).to_pandas()
-    dim = orders.merge(customer, left_on="o_custkey", right_on="c_custkey").merge(
-        nation, left_on="c_nationkey", right_on="n_nationkey"
-    )[["o_orderkey", "n_name"]]
-    order_to_nation = dict(zip(dim["o_orderkey"], dim["n_name"]))
-    ref = ray.put(order_to_nation)
+    dim = customer.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+    cust_to_nation = dict(zip(dim["c_custkey"], dim["n_name"]))
+    ref = ray.put(cust_to_nation)
 
-    def join_fn(batch: pa.Table) -> pa.Table:
-            df = batch.to_pandas()
-            df["n_name"] = df["l_orderkey"].map(_cached_get(ref))
-            df["rev_cents"] = np.floor(
-                df["l_extendedprice"] * (1 - df["l_discount"]) * 100
-            ).astype("int64")
-            g = df.groupby("n_name", as_index=False).agg(
-                revenue_cents=("rev_cents", "sum"), n_items=("l_orderkey", "size")
-            )
-            return pa.Table.from_pandas(g, preserve_index=False)
-
-    def merge(group: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def orders_side(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["n_name"] = df["o_custkey"].map(_cached_get(ref))
+        n = len(df)
+        return pa.table(
             {
-                "n_name": [group["n_name"].iloc[0]],
-                "revenue_cents": [group["revenue_cents"].sum()],
-                "n_items": [group["n_items"].sum()],
+                "orderkey": pa.array(df["o_orderkey"], pa.int64()),
+                "n_name": pa.array(df["n_name"], pa.string()),
+                "revenue_cents": pa.nulls(n, pa.int64()),
+                "n_items": pa.nulls(n, pa.int64()),
+                "side": pa.array(["o"] * n, pa.string()),
             }
         )
 
-    return (
-        ray.data.read_parquet(
-            f"{sf_dir}/lineitem.parquet",
-            columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    def lineitem_side(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["rev_cents"] = np.floor(
+            df["l_extendedprice"] * (1 - df["l_discount"]) * 100
+        ).astype("int64")
+        g = df.groupby("l_orderkey", as_index=False).agg(
+            revenue_cents=("rev_cents", "sum"), n_items=("l_orderkey", "size")
         )
-        .map_batches(join_fn, batch_format="pyarrow")
-        .groupby("n_name")
-        .map_groups(merge, batch_format="pandas")
-        .sort("n_name")
-    )
+        n = len(g)
+        return pa.table(
+            {
+                "orderkey": pa.array(g["l_orderkey"], pa.int64()),
+                "n_name": pa.nulls(n, pa.string()),
+                "revenue_cents": pa.array(g["revenue_cents"], pa.int64()),
+                "n_items": pa.array(g["n_items"], pa.int64()),
+                "side": pa.array(["l"] * n, pa.string()),
+            }
+        )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    ).map_batches(orders_side, batch_format="pyarrow")
+    items = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    ).map_batches(lineitem_side, batch_format="pyarrow")
+
+    def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        o = df.loc[df["side"] == "o", ["orderkey", "n_name"]]
+        li = df.loc[df["side"] == "l", ["orderkey", "revenue_cents", "n_items"]]
+        li = li.groupby("orderkey", as_index=False).agg(
+            revenue_cents=("revenue_cents", "sum"), n_items=("n_items", "sum")
+        )
+        m = li.merge(o, on="orderkey", how="inner")
+        g = m.groupby("n_name", as_index=False).agg(
+            revenue_cents=("revenue_cents", "sum"), n_items=("n_items", "sum")
+        )
+        # the union's null-padded side promotes int64→float64 in pandas;
+        # restore exact integer output
+        g["revenue_cents"] = g["revenue_cents"].astype("int64")
+        g["n_items"] = g["n_items"].astype("int64")
+        return g
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("n_name", as_index=False).agg(
+            revenue_cents=("revenue_cents", "sum"), n_items=("n_items", "sum")
+        )
+        g["revenue_cents"] = g["revenue_cents"].astype("int64")
+        g["n_items"] = g["n_items"].astype("int64")
+        return g
+
+    partial = bucketed_apply(orders.union(items), ["orderkey"], join_bucket)
+    return bucketed_apply(partial, ["n_name"], merge).sort("n_name")
 
 
 def pricing_summary(sf_dir: str) -> ray.data.Dataset:

@@ -20,6 +20,7 @@ from __future__ import annotations
 import shutil
 
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -28,22 +29,94 @@ from codetoneo4j_ray.functions.text import sha256_hex
 from codetoneo4j_ray.pipelines.build_graph import (
     _parquet_rows,
     _stub_fsspec_http,
-    extract_to_records,
     graph_from_records,
     read_corpus,
     read_records,
 )
+from codetoneo4j_ray.stages.extract import build_type_index, extract_records
 from codetoneo4j_ray.state.manifest import corpus_fingerprint, write_manifest
 
 
-def _prior_shas(prior_files_dir: str) -> dict[tuple[str, str], str]:
-    df = ray.data.read_parquet(
+def _joined_keys(keys: set[tuple[str, str]]) -> pa.Array:
+    """(repo, path) set → Arrow string array for vectorized pc.is_in."""
+    return pa.array([f"{r}\x00{p}" for r, p in keys], pa.string())
+
+
+def _join_cols(batch: pa.Table) -> pa.Array:
+    return pc.binary_join_element_wise(batch["repo"], batch["path"], "\x00")
+
+
+def _diff_vs_prior(
+    corpus: ray.data.Dataset, prior_files_dir: str
+) -> tuple[set[tuple[str, str]], list[tuple[str, str]]]:
+    """Bucketed (repo, path) diff of corpus sha256 vs the prior files table.
+
+    A distributed anti/semi-join — neither the corpus universe nor the
+    prior file table is ever collected on the driver; only the *diff*
+    (changed + deleted keys, delta-sized by definition) comes back.
+    Returns (changed_keys, deleted_keys sorted)."""
+    import pandas as pd
+
+    from codetoneo4j_ray.stages.bucketing import bucketed_apply
+
+    def cur_meta(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "repo": batch["repo"],
+                "path": batch["path"],
+                "sha256": pa.array(
+                    [sha256_hex(c) for c in batch["content"].to_pylist()],
+                    pa.string(),
+                ),
+                "side": pa.array(["c"] * batch.num_rows, pa.string()),
+            }
+        )
+
+    def prior_meta(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "repo": batch["repo"],
+                "path": batch["path"],
+                "sha256": batch["sha256"],
+                "side": pa.array(["p"] * batch.num_rows, pa.string()),
+            }
+        )
+
+    cur = corpus.map_batches(cur_meta, batch_format="pyarrow")
+    prior = ray.data.read_parquet(
         prior_files_dir, columns=["repo", "path", "sha256"]
-    ).to_pandas()
-    return {
-        (r, p): s
-        for r, p, s in zip(df["repo"], df["path"], df["sha256"])
-    }
+    ).map_batches(prior_meta, batch_format="pyarrow")
+
+    def diff(df: pd.DataFrame) -> pd.DataFrame:
+        c = df[df["side"] == "c"]
+        p = df[df["side"] == "p"]
+        m = c.merge(p, on=["repo", "path"], how="outer",
+                    suffixes=("_c", "_p"), indicator=True)
+        changed = m[
+            (m["_merge"] == "left_only")
+            | ((m["_merge"] == "both") & (m["sha256_c"] != m["sha256_p"]))
+        ]
+        deleted = m[m["_merge"] == "right_only"]
+        return pd.DataFrame(
+            {
+                "repo": pd.concat([changed["repo"], deleted["repo"]]),
+                "path": pd.concat([changed["path"], deleted["path"]]),
+                "status": ["changed"] * len(changed) + ["deleted"] * len(deleted),
+            }
+        )
+
+    out = bucketed_apply(cur.union(prior), ["repo", "path"], diff).to_pandas()
+    if "status" not in out.columns:
+        return set(), []
+    changed = set(
+        zip(out.loc[out["status"] == "changed", "repo"],
+            out.loc[out["status"] == "changed", "path"])
+    )
+    deleted = sorted(
+        zip(out.loc[out["status"] == "deleted", "repo"],
+            out.loc[out["status"] == "deleted", "path"])
+    )
+    return changed, deleted
 
 
 def build_graph_incremental(
@@ -55,51 +128,41 @@ def build_graph_incremental(
     mode: str = "broadcast",
 ) -> dict:
     """Rebuild against a prior run: extract only changed files."""
-    prior = _prior_shas(f"{prior_out_dir}/files")
-    prior_ref = ray.put(prior)
-
     corpus = read_corpus(input_path)
+    changed, deleted = _diff_vs_prior(corpus, f"{prior_out_dir}/files")
+
+    # re-extract only the changed rows (broadcast of the *delta* key set —
+    # bounded by the diff size, never the corpus)
+    changed_ref = ray.put(_joined_keys(changed))
 
     def changed_only(batch: pa.Table) -> pa.Table:
         from codetoneo4j_ray.stages.link import _cached_get
 
-        shas = _cached_get(prior_ref)
-        repos = batch["repo"].to_pylist()
-        paths = batch["path"].to_pylist()
-        contents = batch["content"].to_pylist()
-        keep = [
-            shas.get((r, p)) != sha256_hex(c)
-            for r, p, c in zip(repos, paths, contents)
-        ]
-        return batch.filter(pa.array(keep, pa.bool_()))
+        keys: pa.Array = _cached_get(changed_ref)
+        joined = _join_cols(batch)
+        return batch.filter(pc.is_in(joined, value_set=keys))
 
     delta = corpus.map_batches(changed_only, batch_format="pyarrow")
 
-    # current (repo, path) universe → detect deletions + stale records
-    live = set(
-        zip(*(corpus.select_columns(["repo", "path"]).to_pandas()[c]
-              for c in ("repo", "path")))
-    )
-    deleted = sorted(k for k in prior if k not in live)
-
-    # changed keys: re-extracted files (their old records are stale too)
-    changed = set(
-        zip(*(delta.select_columns(["repo", "path"]).to_pandas()[c]
-              for c in ("repo", "path")))
-    ) if delta.count() > 0 else set()
     stale = changed | set(deleted)
-    stale_ref = ray.put(stale)
+    stale_ref = ray.put(_joined_keys(stale))
 
-    new_records = extract_to_records(delta, min_accessibility, concurrency)
+    # pass-A type index over the FULL corpus: a changed file may reference
+    # types/namespaces declared in unchanged files (receiver typing, base
+    # chains, global usings) — the incremental==full contract requires the
+    # same compilation-wide knowledge the reference re-opens per run
+    # (SolutionProcessor.cs:256-279). Stage-1 *parse* cost still scales
+    # with the delta; the skim is the cheap declaration pass.
+    indices = build_type_index(corpus)
+    new_records = extract_records(delta, indices, min_accessibility,
+                                  concurrency=concurrency)
 
     def drop_stale(batch: pa.Table) -> pa.Table:
         from codetoneo4j_ray.stages.link import _cached_get
 
-        stale_keys = _cached_get(stale_ref)
-        repos = batch["repo"].to_pylist()
-        paths = batch["path"].to_pylist()
-        keep = [(r, p) not in stale_keys for r, p in zip(repos, paths)]
-        return batch.filter(pa.array(keep, pa.bool_()))
+        stale_keys: pa.Array = _cached_get(stale_ref)
+        joined = _join_cols(batch)
+        return batch.filter(pc.invert(pc.is_in(joined, value_set=stale_keys)))
 
     carried = read_records(f"{prior_out_dir}/records").map_batches(
         drop_stale, batch_format="pyarrow"

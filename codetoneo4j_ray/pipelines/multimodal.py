@@ -80,6 +80,18 @@ def media_from_documents(sf_dir: str) -> ray.data.Dataset:
     ).map_batches(wrap, batch_format="pyarrow")
 
 
+def _decode_pool_size() -> tuple[int, int]:
+    """Actor-pool bounds derived from cluster CPUs — a fixed (1, 4) pool
+    starves a 32-CPU node; at cluster scale the pool tracks node count."""
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:  # noqa: BLE001
+        cpus = 4
+    return (1, max(2, cpus))
+
+
 def media_decode_meta(sf_dir: str) -> ray.data.Dataset:
     """documents → binary payloads → actor-pool decode → typed metadata.
 
@@ -88,6 +100,6 @@ def media_decode_meta(sf_dir: str) -> ray.data.Dataset:
     return (
         media_from_documents(sf_dir)
         .map_batches(MediaDecode, batch_format="pyarrow", batch_size=64,
-                     concurrency=(1, 4))
+                     concurrency=_decode_pool_size())
         .sort("media_id")
     )

@@ -33,7 +33,10 @@ _FILE_TIEBREAK = ["path", "repo"]
 
 
 def _winner_last(df: pd.DataFrame, key: str, order: list[str]) -> pd.DataFrame:
-    df = df.sort_values([key] + order, kind="stable")
+    # na_position='first' makes NULL the minimum, matching the oracle's
+    # ORDER BY … DESC under DuckDB's default NULLS LAST (null = smallest);
+    # pandas' default ('last') would let a NULL-tiebreak row win instead
+    df = df.sort_values([key] + order, kind="stable", na_position="first")
     return df.drop_duplicates(subset=[key], keep="last")
 
 

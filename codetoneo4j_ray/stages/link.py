@@ -118,14 +118,20 @@ def build_member_indices(records: ray.data.Dataset) -> dict[str, MemberIndex]:
 # Worker-local cache for broadcast objects: map_batches *tasks* reuse the
 # already-warm worker pool (no actor spin-up); the first task per worker
 # pays one zero-copy local-object-store ray.get, later tasks hit the dict.
+# Bounded LRU — long-lived sessions broadcast many refs (one per k-means
+# iteration, one per pipeline run); unbounded, every ref stays pinned in
+# every worker for the session's lifetime.
+_BROADCAST_CACHE_MAX = 8
 _BROADCAST_CACHE: dict = {}
 
 
 def _cached_get(ref):
-    obj = _BROADCAST_CACHE.get(ref)
+    obj = _BROADCAST_CACHE.pop(ref, None)
     if obj is None:
         obj = ray.get(ref)
-        _BROADCAST_CACHE[ref] = obj
+        while len(_BROADCAST_CACHE) >= _BROADCAST_CACHE_MAX:
+            _BROADCAST_CACHE.pop(next(iter(_BROADCAST_CACHE)))
+    _BROADCAST_CACHE[ref] = obj  # re-insert = move to MRU position
     return obj
 
 
@@ -335,11 +341,14 @@ def resolve_mentions_partitioned(
 
 
 def _endpoint_filter_batch(batch: pa.Table, keys_ref=None) -> pa.Table:
-    keys: set[str] = _cached_get(keys_ref)
-    subj = batch["subj"].to_pylist()
-    obj = batch["obj"].to_pylist()
-    keep = [s in keys and o in keys for s, o in zip(subj, obj)]
-    return batch.filter(pa.array(keep, pa.bool_()))
+    # value_set probe via pc.is_in: vectorized hash lookup (the broadcast
+    # object is an Arrow array — zero-copy from the local object store)
+    keys: pa.Array = _cached_get(keys_ref)
+    keep = pc.and_(
+        pc.is_in(batch["subj"], value_set=keys),
+        pc.is_in(batch["obj"], value_set=keys),
+    )
+    return batch.filter(keep)
 
 
 def resolve_edges_broadcast(
@@ -351,7 +360,7 @@ def resolve_edges_broadcast(
     broadcast once via ``ray.put`` and probed per batch (no shuffle)."""
     import functools
 
-    keys_ref = ray.put(symbol_keys)
+    keys_ref = ray.put(pa.array(sorted(symbol_keys), pa.string()))
     return mentions.map_batches(
         functools.partial(_endpoint_filter_batch, keys_ref=keys_ref),
         batch_format="pyarrow",

@@ -35,7 +35,16 @@ def corpus_fingerprint(input_path: str, config: dict | None = None) -> str:
         paths.append(input_path)
     for p in sorted(paths):
         st = os.stat(p)
-        h.update(f"{p}:{st.st_size}:{int(st.st_mtime)}".encode())
+        # nanosecond mtime + parquet footer row count: a file rewritten
+        # in place within the same second at identical byte size still
+        # changes the fingerprint (whole-second mtime alone does not)
+        try:
+            import pyarrow.parquet as pq
+
+            rows = pq.ParquetFile(p).metadata.num_rows
+        except Exception:  # noqa: BLE001 — non-parquet input
+            rows = -1
+        h.update(f"{p}:{st.st_size}:{st.st_mtime_ns}:{rows}".encode())
     if config:
         h.update(json.dumps(config, sort_keys=True).encode())
     return h.hexdigest()

@@ -56,11 +56,21 @@ def test_simhash_similar_docs_close():
     assert df["simhash"].str.len().eq(16).all()
 
 
+def _full_matrix(sf_dir):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    t = t.sort_values("vec_id")
+    ids = t["vec_id"].to_numpy()
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in t["embedding"]])
+    return ids, mat
+
+
 def test_ann_topk_matches_numpy_bruteforce():
-    from codetoneo4j_ray.pipelines.data_ops import _embedding_matrix, ann_topk
+    from codetoneo4j_ray.pipelines.data_ops import ann_topk
 
     df = ann_topk(SF).to_pandas()
-    ids, mat = _embedding_matrix(SF)
+    ids, mat = _full_matrix(SF)
     n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
     sims = n[:8] @ n.T
     for qi in range(8):
@@ -85,7 +95,133 @@ def test_ann_ivf_mostly_agrees_with_exact():
         e = set(exact[exact.query_id == q].vec_id)
         a = set(approx[approx.query_id == q].vec_id)
         agree += len(e & a) / len(e)
-    assert agree / exact.query_id.nunique() >= 0.5  # probing 4/16 cells
+    # uniform random vectors are IVF's worst case (no cluster structure);
+    # the clustered-data test below asserts the real ≥0.9 recall bar
+    assert agree / exact.query_id.nunique() >= 0.5
+
+
+def test_ann_ivf_recall_on_clustered_data(tmp_path):
+    """On cluster-structured embeddings (the workload IVF exists for),
+    recall vs exact top-k must be ≥0.9 probing 4/16 cells."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from codetoneo4j_ray.pipelines.data_ops import ann_ivf, ann_topk
+
+    rng = np.random.RandomState(11)
+    dim, n_clusters, per = 24, 12, 50
+    centers = rng.randn(n_clusters, dim) * 4
+    mat = np.concatenate(
+        [centers[c] + rng.randn(per, dim) * 0.4 for c in range(n_clusters)]
+    )
+    perm = rng.permutation(len(mat))
+    mat = mat[perm]
+    ids = np.arange(len(mat), dtype=np.int64)
+    pq.write_table(
+        pa.table({"vec_id": pa.array(ids, pa.int64()),
+                  "embedding": pa.array([list(map(float, v)) for v in mat],
+                                        pa.list_(pa.float64()))}),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    exact = ann_topk(str(tmp_path)).to_pandas()
+    approx = ann_ivf(str(tmp_path)).to_pandas()
+    agree = 0
+    for q in exact.query_id.unique():
+        e = set(exact[exact.query_id == q].vec_id)
+        a = set(approx[approx.query_id == q].vec_id)
+        agree += len(e & a) / len(e)
+    assert agree / exact.query_id.nunique() >= 0.9
+
+
+def test_embedding_near_dup_recall_vs_bruteforce(tmp_path):
+    """Cell-blocked near-dup recovers ≥90% of brute-force pairs with no
+    false positives, on planted duplicates (the sf0.001 embeddings have
+    no pairs at any threshold — max off-diagonal cosine ≈ 0.48)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from codetoneo4j_ray.pipelines.data_ops import embedding_near_dup
+
+    rng = np.random.RandomState(5)
+    dim = 16
+    base = rng.randn(60, dim)
+    rows = [base]
+    # plant 30 near-duplicates: tiny perturbations of the first 30 vectors
+    rows.append(base[:30] + 0.01 * rng.randn(30, dim))
+    mat = np.concatenate(rows)
+    ids = np.arange(len(mat), dtype=np.int64)
+    pq.write_table(
+        pa.table({"vec_id": pa.array(ids, pa.int64()),
+                  "embedding": pa.array([list(map(float, v)) for v in mat],
+                                        pa.list_(pa.float64()))}),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    threshold = 0.95
+    got = set(
+        map(tuple, embedding_near_dup(str(tmp_path), threshold=threshold)
+            .to_pandas()[["vec_a", "vec_b"]].values)
+    )
+    n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = n @ n.T
+    exact = set()
+    ai, bi = np.nonzero(sims >= threshold)
+    for i, j in zip(ai, bi):
+        if ids[i] < ids[j]:
+            exact.add((int(ids[i]), int(ids[j])))
+    assert len(exact) >= 30
+    assert not (got - exact), "cell-blocked output contains false positives"
+    assert len(got & exact) / len(exact) >= 0.9
+
+
+def test_embedding_near_dup_empty_input_yields_no_pairs():
+    # sf0.001 embeddings have no near-dups at 0.95 (max cosine ≈ 0.48);
+    # empty result must not error (Ray drops the schema of all-empty
+    # datasets — a known engine behavior, same as round 1)
+    from codetoneo4j_ray.pipelines.data_ops import embedding_near_dup
+
+    assert embedding_near_dup(SF).count() == 0
+
+
+def test_minhash_pairs_match_exact_jaccard_reference():
+    """Distributed shingle-join verification == inline broadcast reference
+    on the sf0.001 documents table (same candidates, same Jaccard)."""
+    import pyarrow.parquet as pq
+
+    from codetoneo4j_ray.pipelines.data_ops import (
+        _LSH_BANDS,
+        _MINHASH_PERMS,
+        _minhash_sig,
+        _shingles,
+        doc_dedup_minhash,
+    )
+
+    got = set(
+        map(tuple, doc_dedup_minhash(SF).to_pandas()[["doc_a", "doc_b"]].values)
+    )
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    sh = {int(r.doc_id): _shingles(r.text) for r in docs.itertuples()}
+    rows_per_band = _MINHASH_PERMS // _LSH_BANDS
+    import hashlib
+
+    buckets: dict = {}
+    for doc_id, s in sh.items():
+        sig = _minhash_sig(s)
+        for b in range(_LSH_BANDS):
+            chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
+            key = (b, hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest())
+            buckets.setdefault(key, []).append(doc_id)
+    expect = set()
+    for ids in buckets.values():
+        ids = sorted(set(ids))
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                sa, sb = sh[a], sh[b]
+                union = len(sa | sb)
+                j = (len(sa & sb) / union) if union else 1.0
+                if j >= 0.8:
+                    expect.add((a, b))
+    assert got == expect
 
 
 def test_text_stats_shapes():
@@ -131,6 +267,9 @@ def test_revenue_by_nation_matches_pandas():
     j["rc"] = np.floor(j.l_extendedprice * (1 - j.l_discount) * 100).astype("int64")
     exp = j.groupby("n_name")["rc"].sum().sort_index()
     got = df.set_index("n_name")["revenue_cents"]
+    # dtype must stay exact int64 — the driver hash stringifies values,
+    # so a float64 promotion ('123.0' vs '123') is a correctness failure
+    assert got.dtype == np.int64 and df["n_items"].dtype == np.int64
     assert got.to_dict() == exp.to_dict()
 
 

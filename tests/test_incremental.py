@@ -83,3 +83,44 @@ def test_old_symbols_gone_new_present(incr):
     assert "r1:N.B.Old()" not in keys
     assert "r1:N.Gone" not in keys
     assert "r1:N.C" in keys
+
+
+def test_incremental_cross_file_reference(ray_session, tmp_path):
+    """A changed file calling a method declared in an UNCHANGED file must
+    keep its INVOKES edge — the pass-A type index has to cover the full
+    corpus, not just the delta (incremental == full contract)."""
+    lib = ("namespace Lib;\npublic class Helper {\n"
+           "  public void Go() { }\n}")
+    v1 = [
+        ("r1", "src/A.cs", "c" * 40, "csharp", lib),
+        ("r1", "src/B.cs", "c" * 40, "csharp",
+         "using Lib;\nnamespace App;\npublic class B {\n"
+         "  public void Run() { var h = new Helper(); h.Go(); }\n}"),
+    ]
+    v2 = [
+        v1[0],  # Lib/Helper UNCHANGED
+        ("r1", "src/B.cs", "d" * 40, "csharp",
+         "using Lib;\nnamespace App;\npublic class B {\n"
+         "  public void Run2() { var h = new Helper(); h.Go(); }\n}"),
+    ]
+    p1, p2 = str(tmp_path / "v1.parquet"), str(tmp_path / "v2.parquet")
+    pq.write_table(_corpus(v1), p1)
+    pq.write_table(_corpus(v2), p2)
+    from codetoneo4j_ray.pipelines.build_graph import build_graph
+    from codetoneo4j_ray.pipelines.incremental import build_graph_incremental
+
+    out1, out2, out_full = (str(tmp_path / d) for d in ("o1", "o2", "of"))
+    build_graph(p1, out1)
+    build_graph_incremental(p2, out1, out2)
+    build_graph(p2, out_full)
+    import ray.data as rd
+
+    incr_edges = rd.read_parquet(f"{out2}/edges").to_pandas()
+    full_edges = rd.read_parquet(f"{out_full}/edges").to_pandas()
+    assert incr_edges.reset_index(drop=True).equals(
+        full_edges.reset_index(drop=True)
+    )
+    inv = incr_edges[incr_edges["pred"] == "src__INVOKES"]
+    assert ("r1:App.B.Run2()", "r1:Lib.Helper.Go()") in set(
+        zip(inv["subj"], inv["obj"])
+    )

@@ -157,3 +157,29 @@ def test_entry_contract(ray_session):
     sql = em.oracle_sql()
     assert set(sql) <= set(qs)
     assert len(qs) >= 15
+
+
+def test_lww_null_tiebreak_matches_oracle(ray_session):
+    """Duplicate key where one candidate has NULL in a tiebreak column:
+    the winner must be the greatest non-NULL row (NULL = smallest),
+    matching the DuckDB oracle's ORDER BY … DESC under NULLS LAST."""
+    import pandas as pd
+    import ray.data as rd
+
+    from codetoneo4j_ray.stages.canonicalize import dedup_nodes
+
+    rows = pd.DataFrame(
+        {
+            "key": ["k", "k"],
+            "path": ["a.cs", "a.cs"],
+            "start_line": [1, 1],
+            "end_line": [2, 2],
+            "repo": ["r", "r"],
+            "namespace": [None, "N"],  # NULL vs non-NULL tiebreak
+            "kind": ["Class", "Class"],
+            "accessibility": ["Public", "Public"],
+        }
+    )
+    out = dedup_nodes(rd.from_pandas(rows)).to_pandas()
+    assert len(out) == 1
+    assert out.iloc[0]["namespace"] == "N"  # non-NULL row wins
