@@ -29,7 +29,11 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from codetoneo4j_ray.pipelines import data_ops, multimodal
     from codetoneo4j_ray.pipelines.kg_queries import (
+        q_kg_authored,
+        q_kg_commit_edges,
+        q_kg_commits,
         q_kg_edges,
+        q_kg_file_history,
         q_kg_files,
         q_kg_mentions_raw,
         q_kg_pred_counts,
@@ -45,6 +49,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_symbol_kinds": q_kg_symbol_kinds,
         "kg_pred_counts": q_kg_pred_counts,
         "kg_mentions_raw": q_kg_mentions_raw,
+        # commit subgraph (UpsertCommit/UpsertFile cypher analogs)
+        "kg_commits": q_kg_commits,
+        "kg_commit_edges": q_kg_commit_edges,
+        "kg_authored": q_kg_authored,
+        "kg_file_history": q_kg_file_history,
         # training-data ops: dedup family
         "doc_dedup_exact": data_ops.doc_dedup_exact,
         "doc_dedup_minhash": data_ops.doc_dedup_minhash,
@@ -75,8 +84,10 @@ def oracle_sql() -> dict[str, str]:
     # Side effect: make sure the sf0.01 KG cache parquet exists before the
     # driver executes the SQL (the strings below read those files).
     from codetoneo4j_ray.pipelines.kg_queries import ensure_kg, oracle_kg
+    from codetoneo4j_ray.sources.synth import ensure_commits
 
     ensure_kg(SF01)
+    ensure_commits(SF01)
     sql = dict(oracle_kg(SF01))
     sql.pop("kg_mentions_raw", None)
 

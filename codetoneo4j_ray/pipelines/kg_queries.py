@@ -189,6 +189,40 @@ def q_kg_pred_counts(sf_dir: str) -> ray.data.Dataset:
     return bucketed_apply(partial, ["pred"], merge).sort("pred")
 
 
+def _commits_path(sf_dir: str) -> str:
+    from codetoneo4j_ray.sources.synth import ensure_commits
+
+    return ensure_commits(sf_dir)
+
+
+def q_kg_commits(sf_dir: str) -> ray.data.Dataset:
+    """Commit nodes (UpsertCommit.cypher:1-3 MERGE by hash)."""
+    from codetoneo4j_ray.pipelines.commits import commit_nodes, read_commits
+
+    return commit_nodes(read_commits(_commits_path(sf_dir)))
+
+
+def q_kg_commit_edges(sf_dir: str) -> ray.data.Dataset:
+    """COMMITTED / PART_OF_PROJECT / MODIFIED_FILE triples."""
+    from codetoneo4j_ray.pipelines.commits import commit_edges, read_commits
+
+    return commit_edges(read_commits(_commits_path(sf_dir)))
+
+
+def q_kg_authored(sf_dir: str) -> ray.data.Dataset:
+    """Per-(author, file) AUTHORED fold with first/last/count props."""
+    from codetoneo4j_ray.pipelines.commits import authored_stats, read_commits
+
+    return authored_stats(read_commits(_commits_path(sf_dir)))
+
+
+def q_kg_file_history(sf_dir: str) -> ray.data.Dataset:
+    """Per-file created/lastModified/commit-count fold."""
+    from codetoneo4j_ray.pipelines.commits import file_history, read_commits
+
+    return file_history(read_commits(_commits_path(sf_dir)))
+
+
 def q_kg_mentions_raw(sf_dir: str) -> ray.data.Dataset:
     """Raw mention triples (relBuffer analog, pre-linking) — rows-only."""
     paths = ensure_kg(sf_dir)
@@ -218,6 +252,11 @@ def oracle_kg(sf_dir: str) -> dict[str, str]:
     mentions = _p(paths["mentions"])
     corpus = f"read_parquet('{paths['corpus']}')"
     tags_map = f"read_parquet('{paths['tags_map']}')"
+    commits = (
+        "read_parquet('"
+        + os.path.join(corpus_dir_for_sf(sf_dir), "commits.parquet")
+        + "')"
+    )
 
     nodes_dedup = f"""
         SELECT * FROM (
@@ -287,6 +326,55 @@ def oracle_kg(sf_dir: str) -> dict[str, str]:
             FROM filed f
             JOIN {corpus} c ON f.repo = c.repo AND f.path = c.path
             ORDER BY f.key
+        """,
+        "kg_commits": f"""
+            SELECT hash, repo, author, email,
+                   CAST(floor(epoch(date)) AS BIGINT) AS date_sec, message
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY hash ORDER BY repo DESC, author DESC
+                ) AS rn FROM {commits}
+            ) WHERE rn = 1 ORDER BY hash
+        """,
+        "kg_commit_edges": f"""
+            WITH e AS (
+                SELECT 'author:' || author AS subj,
+                       'src__COMMITTED' AS pred,
+                       'commit:' || hash AS obj
+                FROM {commits}
+                UNION ALL
+                SELECT 'commit:' || hash, 'src__PART_OF_PROJECT', lower(repo)
+                FROM {commits}
+                UNION ALL
+                SELECT 'commit:' || hash, 'src__MODIFIED_FILE',
+                       unnest(changed_paths)
+                FROM {commits}
+            )
+            SELECT DISTINCT subj, pred, obj FROM e ORDER BY subj, pred, obj
+        """,
+        "kg_authored": f"""
+            SELECT author, path,
+                   min(sec) AS first_sec, max(sec) AS last_sec,
+                   count(*) AS commit_count
+            FROM (
+                SELECT author,
+                       CAST(floor(epoch(date)) AS BIGINT) AS sec,
+                       unnest(changed_paths) AS path
+                FROM {commits}
+            )
+            GROUP BY author, path ORDER BY author, path
+        """,
+        "kg_file_history": f"""
+            SELECT repo, path,
+                   min(sec) AS created_sec, max(sec) AS modified_sec,
+                   count(*) AS n_commits
+            FROM (
+                SELECT repo,
+                       CAST(floor(epoch(date)) AS BIGINT) AS sec,
+                       unnest(changed_paths) AS path
+                FROM {commits}
+            )
+            GROUP BY repo, path ORDER BY repo, path
         """,
         "kg_symbol_kinds": f"""
             SELECT language, kind, count(*) AS n

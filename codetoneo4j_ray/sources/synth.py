@@ -68,6 +68,92 @@ def ensure_corpus(sf_dir: str) -> str:
     return path
 
 
+_COMMITS_SCHEMA = pa.schema(
+    [
+        ("repo", pa.string()),
+        ("hash", pa.string()),
+        ("author", pa.string()),
+        ("email", pa.string()),
+        ("date", pa.timestamp("us", tz="UTC")),
+        ("message", pa.string()),
+        ("changed_paths", pa.list_(pa.string())),
+        ("changed_deleted", pa.list_(pa.bool_())),
+    ]
+)
+
+_AUTHOR_POOL = [
+    ("Ada Lovelace", "ada@example.com"),
+    ("Grace Hopper", "grace@example.com"),
+    ("Alan Turing", "alan@example.com"),
+    ("Edsger Dijkstra", "edsger@example.com"),
+    ("Barbara Liskov", "barbara@example.com"),
+]
+
+
+def ensure_commits(sf_dir: str) -> str:
+    """Deterministic commits side table next to the corpus parquet.
+
+    The reference derives this from ``git log --name-only``
+    (``VersionControl/GitService.cs:17-94``); a Parquet corpus carries
+    no git history, so an optional ``commits`` table of
+    (repo, hash, author, email, date, message, changed files) supplies
+    the same facts — the portable equivalent called out in VERDICT §1."""
+    out_dir = corpus_dir_for_sf(sf_dir)
+    path = os.path.join(out_dir, "commits.parquet")
+    stamp_path = os.path.join(out_dir, "commits.meta")
+    n_repos, filler = _scale(sf_from_dir(sf_dir))
+    stamp = f"cv1:{n_repos}:{filler}:42"
+    current = None
+    if os.path.exists(stamp_path):
+        with open(stamp_path) as f:
+            current = f.read().strip()
+    if not os.path.exists(path) or current != stamp:
+        os.makedirs(out_dir, exist_ok=True)
+        corpus_path = ensure_corpus(sf_dir)
+        meta = pq.read_table(corpus_path, columns=["repo", "path"])
+        paths_by_repo: dict[str, list[str]] = {}
+        for repo, p in zip(meta["repo"].to_pylist(), meta["path"].to_pylist()):
+            paths_by_repo.setdefault(repo, []).append(p)
+        table = generate_commits(paths_by_repo, filler)
+        tmp = path + ".tmp"
+        pq.write_table(table, tmp)
+        os.replace(tmp, path)
+        with open(stamp_path, "w") as f:
+            f.write(stamp)
+    return path
+
+
+def generate_commits(
+    paths_by_repo: dict[str, list[str]], filler_per_repo: int, seed: int = 42
+) -> pa.Table:
+    """One deterministic history per repo over that repo's file paths."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    rows: list[tuple] = []
+    for ri, (repo, paths) in enumerate(sorted(paths_by_repo.items())):
+        rng = random.Random(seed * 1_000_003 + ri)
+        paths = sorted(set(paths))
+        n_commits = 8 + filler_per_repo // 2
+        for j in range(n_commits):
+            h = hashlib.sha1(f"{seed}:{repo}:commit:{j}".encode()).hexdigest()
+            author, email = _AUTHOR_POOL[rng.randrange(len(_AUTHOR_POOL))]
+            date = base + dt.timedelta(hours=ri * 7 + j * 13, minutes=j % 47)
+            n_changed = 1 + rng.randrange(4)
+            changed = sorted(rng.sample(paths, min(n_changed, len(paths))))
+            deleted = [rng.random() < 0.05 for _ in changed]
+            rows.append(
+                (repo, h, author, email, date, f"commit {j}: update {repo}",
+                 changed, deleted)
+            )
+    cols = list(zip(*rows))
+    return pa.table(
+        {f.name: pa.array(list(cols[i]), f.type)
+         for i, f in enumerate(_COMMITS_SCHEMA)},
+        schema=_COMMITS_SCHEMA,
+    )
+
+
 def generate_corpus(n_repos: int = 2, filler_per_repo: int = 2, seed: int = 42) -> pa.Table:
     rows: list[tuple[str, str, str, str, str]] = []
     rng = random.Random(seed)
