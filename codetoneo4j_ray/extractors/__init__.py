@@ -37,6 +37,7 @@ def extract_file(
     content: str,
     min_accessibility: str,
     repo_index: RepoTypeIndex | None = None,
+    pkg_meta: dict | None = None,
 ) -> FileContext | None:
     """Run the matching handler for one corpus row; None when no handler
     or the path is in an excluded directory."""
@@ -55,10 +56,15 @@ def extract_file(
         content=content,
         language=handler.language,
         technology=handler.technology,
+        pkg_meta=pkg_meta,
     )
     fn = _DISPATCH[handler.name]
     try:
         if handler.name == "csharp":
+            fn(ctx, min_accessibility, repo_index or _EMPTY_INDEX)
+        elif handler.name == "razor":
+            # the generated-code pass types receivers against the same
+            # repo-wide index the C# extractor uses
             fn(ctx, min_accessibility, repo_index or _EMPTY_INDEX)
         elif handler.name in ("typescript", "javascript"):
             fn(ctx, min_accessibility, handler.kind_prefix)

@@ -33,6 +33,13 @@ class FileContext:
     # handlers may override the file-level namespace (razor @namespace,
     # xaml x:Class, csharp first type) — reflected into the files table
     file_namespace_override: str | None = None
+    # optional package-metadata side table: (name_lower, version) →
+    # (project_url, repository_url). The portable analog of the nuspec
+    # cache lookup (CsprojHandler.cs:157-200 reads
+    # ~/.nuget/packages/{name}/{version}/{name}.nuspec) — a Parquet
+    # corpus has no package cache, so the same facts arrive as a
+    # broadcast side table.
+    pkg_meta: dict | None = None
 
     # ---- TextSymbolMapper analogs ------------------------------------
     def build_key(self, kind_token: str, name: str, start_line: int | None = None) -> str:

@@ -223,8 +223,17 @@ def extract_csproj(ctx: FileContext, min_accessibility: str) -> None:
             if not include:
                 continue
             ctx.add_package_dependency(include, version)
-            # nuspec URL lookup (CsprojHandler.cs:139-200) requires a local
-            # NuGet package cache — not present for a Parquet corpus; skipped.
+            # nuspec URL analog (CsprojHandler.CollectNuspecUrls:139-154):
+            # the package-metadata side table replaces the local NuGet
+            # cache; lookup only with a version, urls in nuspec order
+            # (projectUrl then repositoryUrl), empties skipped
+            if ctx.pkg_meta is not None and version:
+                meta = ctx.pkg_meta.get((include.lower(), version))
+                if meta is not None:
+                    dep_key = f"pkg:{include}"
+                    for url in meta:
+                        if url:
+                            ctx.add_url(dep_key, url)
         elif elem.local_name == "ProjectReference":
             include = _attr_value(elem, "Include")
             if not include:
@@ -322,13 +331,120 @@ _RAZOR_NAMESPACE_RE = re.compile(r"^@namespace\s+(.+)$", re.MULTILINE)
 _RAZOR_DIRECTIVES_RE = re.compile(r"^@(?:using|inject|model|inherits)\s+(.+)$", re.MULTILINE)
 
 
-def extract_razor(ctx: FileContext, min_accessibility: str) -> None:
-    m = _RAZOR_NAMESPACE_RE.search(ctx.content)
+_RAZOR_CODE_OPEN_RE = re.compile(r"@(?:code|functions)\s*\{")
+
+
+def _razor_code_blocks(content: str) -> list[tuple[int, str]]:
+    """(start_line_of_block_body, body) per @code/@functions block —
+    simple depth-matched braces (strings with braces inside @code are the
+    documented approximation vs the real Razor parser)."""
+    out: list[tuple[int, str]] = []
+    for m in _RAZOR_CODE_OPEN_RE.finditer(content):
+        open_idx = m.end() - 1
+        depth = 0
+        for i in range(open_idx, len(content)):
+            c = content[i]
+            if c == "{":
+                depth += 1
+            elif c == "}":
+                depth -= 1
+                if depth == 0:
+                    body = content[open_idx + 1 : i]
+                    # body starts right after '{'; its first line is the
+                    # line of '{' itself
+                    out.append((get_line_number(content, open_idx), body))
+                    break
+    return out
+
+
+def extract_razor(ctx: FileContext, min_accessibility: str,
+                  repo_index=None) -> None:
+    """Razor: generated-code analog + regex directives.
+
+    The reference runs RoslynSymbolProcessor over the compiler-generated
+    component class and maps lines back via #line, overriding the file
+    key with the generated type's FQN (RazorHandler.cs:34-84). Without a
+    Razor compilation the generated tree is deterministic from the
+    template: class name = file basename, namespace = @namespace (else
+    the inferred directory namespace), base = @inherits, members = the
+    @code/@functions block bodies. We synthesize that compilation unit
+    and run the regular C# extractor over it, remapping member lines to
+    the template. Deltas: markup-derived code (bind/event lambdas in
+    HTML) is not extracted; class decl maps to line 1."""
+    content = ctx.content
+    m = _RAZOR_NAMESPACE_RE.search(content)
     ns = m.group(1).strip() if m else None
+
+    # ---- generated-code pass (RazorHandler.cs:34-78 analog) ----------
+    from codetoneo4j_ray.extractors.base import FileContext as _FC
+    from codetoneo4j_ray.extractors.csharp.extractor import extract_csharp
+    from codetoneo4j_ray.extractors.csharp.types import RepoTypeIndex
+
+    base_name = ctx.path.rsplit("/", 1)[-1]
+    cls = base_name[:-6] if base_name.lower().endswith(".razor") else base_name
+    cls_ident = re.sub(r"[^0-9A-Za-z_]", "_", cls) or "_"
+    gen_ns = ns or (ctx.namespace or None)
+    fqn = f"{gen_ns}.{cls_ident}" if gen_ns else cls_ident
+
+    usings: list[str] = []
+    inherits: str | None = None
+    for dm in _RAZOR_DIRECTIVES_RE.finditer(content):
+        text = dm.group(0).strip()
+        val = dm.group(1).strip()
+        if text.startswith("@using"):
+            usings.append(val)
+        elif text.startswith("@inherits"):
+            inherits = val
+
+    syn_lines: list[str] = []
+    line_map: dict[int, int] = {}
+
+    def emit(text: str, orig_line: int | None = None) -> None:
+        syn_lines.append(text)
+        if orig_line is not None:
+            line_map[len(syn_lines)] = orig_line
+
+    for u in usings:
+        emit(f"using {u};")
+    if gen_ns:
+        emit(f"namespace {gen_ns};")
+    decl = f"public partial class {cls_ident}"
+    if inherits:
+        decl += f" : {inherits}"
+    emit(decl)
+    emit("{")
+    for block_line, body in _razor_code_blocks(content):
+        for i, ln in enumerate(body.split("\n")):
+            emit(ln, orig_line=block_line + i)
+    emit("}")
+
+    child = _FC(
+        repo=ctx.repo, repo_key=ctx.repo_key, path=ctx.path,
+        file_key=fqn, namespace=gen_ns or "", content="\n".join(syn_lines),
+        language=ctx.language, technology=ctx.technology,
+    )
+    try:
+        extract_csharp(child, min_accessibility,
+                       repo_index or RepoTypeIndex())
+    except Exception:  # noqa: BLE001 — malformed @code never fails the file
+        child = None
+    if child is not None:
+        for s in child.symbols:
+            s["start_line"] = line_map.get(s["start_line"], 1)
+            s["end_line"] = line_map.get(s["end_line"], 1)
+        ctx.symbols.extend(child.symbols)
+        ctx.mentions.extend(child.mentions)
+        # fileKey := generated type FQN; fileNamespace := its namespace
+        # (RazorHandler.cs:60-72) — the directive pass below uses both
+        ctx.file_key = fqn
+        if gen_ns:
+            ns = gen_ns
     ctx.file_namespace_override = ns
+
+    # ---- regex directive pass (fallback/complement, :96-129) ---------
     if not acc.is_public_accessible(min_accessibility):
         return
-    for m in _RAZOR_DIRECTIVES_RE.finditer(ctx.content):
+    for m in _RAZOR_DIRECTIVES_RE.finditer(content):
         line_text = m.group(0).strip()
         if line_text.startswith("@using"):
             kind = "UsingDirective"

@@ -19,7 +19,6 @@ from __future__ import annotations
 import ray.data
 
 from codetoneo4j_ray.extractors.accessibility import DEFAULT_MIN_ACCESSIBILITY
-from codetoneo4j_ray.stages.canonicalize import dedup_files, dedup_nodes, distinct_triples
 from codetoneo4j_ray.stages.extract import build_type_index, extract_records
 from codetoneo4j_ray.stages.link import (
     build_member_indices,
@@ -55,11 +54,13 @@ def extract_to_records(
     corpus: ray.data.Dataset,
     min_accessibility: str = DEFAULT_MIN_ACCESSIBILITY,
     concurrency=None,
+    pkg_meta: dict | None = None,
 ) -> ray.data.Dataset:
     """Stages 1a+1b, returning the unified record stream (lazy)."""
     indices = build_type_index(corpus)
     return extract_records(
-        corpus, indices, min_accessibility, concurrency=concurrency
+        corpus, indices, min_accessibility, concurrency=concurrency,
+        pkg_meta=pkg_meta,
     )
 
 
@@ -105,18 +106,17 @@ def graph_from_records(
 
     if mode == "partitioned":
         from codetoneo4j_ray.stages.link import (
-            resolve_edges_partitioned,
+            resolve_link_fused,
             resolve_mentions_partitioned,
         )
 
+        # one repo-keyed exchange resolves + endpoint-checks the
+        # repo-prefixed bulk; only non-prefixed keys take the two tiny
+        # global semi-join exchanges
+        sym_edges = resolve_link_fused(raw_mentions, symbols)
+        # resolved mention stream only if a consumer asks (lazy — unused
+        # by build_graph, which never writes mentions_raw)
         resolved = resolve_mentions_partitioned(raw_mentions)
-        # structural edges ride the obj-pass exchange; distinct fused in
-        edges = resolve_edges_partitioned(
-            resolved.select_columns(["subj", "pred", "obj"]),
-            symbols,
-            extra_edges=structural_edges(records),
-            distinct=True,
-        )
     else:
         member_indices = build_member_indices(raw_mentions)
         # narrow the mention stream before the resolve/join stages — only
@@ -131,17 +131,20 @@ def graph_from_records(
         sym_edges = resolve_edges_broadcast(
             resolved.select_columns(["subj", "pred", "obj"]), symbol_keys
         )
-        edges = distinct_triples(sym_edges.union(structural_edges(records)))
-    from codetoneo4j_ray.stages.bucketing import coalesce
+    from codetoneo4j_ray.stages.canonicalize import distinct_sorted, lww_sorted
+    from codetoneo4j_ray.stages.canonicalize import _FILE_TIEBREAK, _TIEBREAK
 
-    nodes = finalize_nodes(dedup_nodes(symbols))
-    files_out = finalize_files(dedup_files(files))
-    # coalesce before the final sorts: Ray's sort-based exchange is
-    # O(blocks²) in tasks and these streams arrive heavily fragmented
+    # dedup/distinct fused into each output's range-partitioned sort:
+    # ONE exchange per table (see canonicalize.lww_sorted for the
+    # exactness argument). finalize (truncate-8000 + projection) runs
+    # BEFORE the node shuffle so untruncated doc strings never move.
+    edges = distinct_sorted(sym_edges.union(structural_edges(records)))
+    nodes = lww_sorted(finalize_nodes(symbols), "key", _TIEBREAK)
+    files_out = lww_sorted(finalize_files(files), "key", _FILE_TIEBREAK)
     return {
-        "nodes": coalesce(nodes).sort("key"),
-        "edges": coalesce(edges).sort(["subj", "pred", "obj"]),
-        "files": coalesce(files_out).sort("key"),
+        "nodes": nodes,
+        "edges": edges,
+        "files": files_out,
         "mentions_raw": resolved,
     }
 
@@ -153,21 +156,30 @@ def build_graph(
     resume: bool = True,
     concurrency=None,
     mode: str = "broadcast",
+    packages_path: str | None = None,
 ) -> dict:
     """Full run with a records checkpoint; returns metrics."""
-    config = {"min_accessibility": min_accessibility, "v": 1}
+    config = {"min_accessibility": min_accessibility, "v": 2,
+              "packages": packages_path}
     fp = corpus_fingerprint(input_path, config)
     records_dir = f"{out_dir}/records"
 
     import shutil
     import time
 
+    pkg_meta = None
+    if packages_path is not None:
+        from codetoneo4j_ray.stages.extract import load_pkg_meta
+
+        pkg_meta = load_pkg_meta(packages_path)
+
     stage1_sec = 0.0
     if not (resume and stage_is_complete(out_dir, "records", fp)):
         t0 = time.perf_counter()
         shutil.rmtree(records_dir, ignore_errors=True)
         corpus = read_corpus(input_path)
-        records = extract_to_records(corpus, min_accessibility, concurrency)
+        records = extract_to_records(corpus, min_accessibility, concurrency,
+                                     pkg_meta=pkg_meta)
         # hive-partition the checkpoint by rec_type (partition-pruned
         # reads downstream); block count already bounded at the read
         records.write_parquet(records_dir, partition_cols=["rec_type"])

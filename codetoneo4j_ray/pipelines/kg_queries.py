@@ -41,7 +41,7 @@ from codetoneo4j_ray.stages.materialize import (
 )
 from codetoneo4j_ray.state.manifest import corpus_fingerprint, stage_is_complete, write_manifest
 
-_KG_CONFIG = {"min_accessibility": "Private", "kg_cache_v": 9}
+_KG_CONFIG = {"min_accessibility": "Private", "kg_cache_v": 10}
 
 
 def kg_paths(sf_dir: str) -> dict[str, str]:
@@ -62,8 +62,13 @@ def ensure_kg(sf_dir: str) -> dict[str, str]:
     fp = corpus_fingerprint(corpus_path, _KG_CONFIG)
     if stage_is_complete(paths["out"], "kgcache", fp):
         return paths
+    from codetoneo4j_ray.sources.synth import ensure_packages
+    from codetoneo4j_ray.stages.extract import load_pkg_meta
+
     corpus = read_corpus(corpus_path)
-    records = extract_to_records(corpus)
+    records = extract_to_records(
+        corpus, pkg_meta=load_pkg_meta(ensure_packages(sf_dir))
+    )
     shutil.rmtree(paths["records"], ignore_errors=True)
     coalesce(records).write_parquet(paths["records"], partition_cols=["rec_type"])
 
@@ -117,12 +122,16 @@ _NODE_COLS = [
 
 
 def q_kg_nodes(sf_dir: str) -> ray.data.Dataset:
+    from codetoneo4j_ray.stages.canonicalize import _TIEBREAK, lww_sorted
+
     paths = ensure_kg(sf_dir)
     symbols = read_records(paths["records"], "symbol")
-    return coalesce(finalize_nodes(dedup_nodes(symbols))).sort("key")
+    return lww_sorted(finalize_nodes(symbols), "key", _TIEBREAK)
 
 
 def q_kg_edges(sf_dir: str) -> ray.data.Dataset:
+    from codetoneo4j_ray.stages.canonicalize import distinct_sorted
+
     paths = ensure_kg(sf_dir)
     records = read_records(paths["records"])
     mentions = ray.data.read_parquet(paths["mentions"]).select_columns(
@@ -131,14 +140,15 @@ def q_kg_edges(sf_dir: str) -> ray.data.Dataset:
     symbols = read_records(paths["records"], "symbol")
     symbol_keys = set(symbols.select_columns(["key"]).to_pandas()["key"])
     sym_edges = resolve_edges_broadcast(mentions, symbol_keys)
-    edges = distinct_triples(sym_edges.union(structural_edges(records)))
-    return coalesce(edges).sort(["subj", "pred", "obj"])
+    return distinct_sorted(sym_edges.union(structural_edges(records)))
 
 
 def q_kg_files(sf_dir: str) -> ray.data.Dataset:
+    from codetoneo4j_ray.stages.canonicalize import _FILE_TIEBREAK, lww_sorted
+
     paths = ensure_kg(sf_dir)
     files = read_records(paths["records"], "file")
-    return coalesce(finalize_files(dedup_files(files))).sort("key")
+    return lww_sorted(finalize_files(files), "key", _FILE_TIEBREAK)
 
 
 def q_kg_symbol_kinds(sf_dir: str) -> ray.data.Dataset:

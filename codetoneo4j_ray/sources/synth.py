@@ -123,6 +123,49 @@ def ensure_commits(sf_dir: str) -> str:
     return path
 
 
+_PACKAGES_SCHEMA = pa.schema(
+    [
+        ("name", pa.string()),
+        ("version", pa.string()),
+        ("project_url", pa.string()),
+        ("repository_url", pa.string()),
+    ]
+)
+
+
+def ensure_packages(sf_dir: str) -> str:
+    """Deterministic package-metadata side table (nuspec-cache analog,
+    CsprojHandler.cs:157-200) for the packages the synthetic csproj
+    files reference."""
+    out_dir = corpus_dir_for_sf(sf_dir)
+    path = os.path.join(out_dir, "packages.parquet")
+    if not os.path.exists(path):
+        os.makedirs(out_dir, exist_ok=True)
+        rows = [
+            ("Newtonsoft.Json", "13.0.1",
+             "https://www.newtonsoft.com/json",
+             "https://github.com/JamesNK/Newtonsoft.Json"),
+        ]
+        for minor in range(4):
+            rows.append(
+                (f"Serilog", f"3.{minor}.0",
+                 "https://serilog.net/",
+                 "https://github.com/serilog/serilog")
+            )
+        cols = list(zip(*rows))
+        tmp = path + ".tmp"
+        pq.write_table(
+            pa.table(
+                {f.name: pa.array(list(cols[i]), f.type)
+                 for i, f in enumerate(_PACKAGES_SCHEMA)},
+                schema=_PACKAGES_SCHEMA,
+            ),
+            tmp,
+        )
+        os.replace(tmp, path)
+    return path
+
+
 def generate_commits(
     paths_by_repo: dict[str, list[str]], filler_per_repo: int, seed: int = 42
 ) -> pa.Table:

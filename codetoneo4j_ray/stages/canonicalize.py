@@ -23,7 +23,7 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
-from codetoneo4j_ray.stages.bucketing import bucketed_apply
+from codetoneo4j_ray.stages.bucketing import bucketed_apply, coalesce
 
 _SEP = "\x00"
 
@@ -45,65 +45,72 @@ def _local_dedup_nodes(batch: pa.Table) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False, schema=batch.schema)
 
 
-def _split_dedup(
+def lww_sorted(
     ds: ray.data.Dataset, key: str, order: list[str]
 ) -> ray.data.Dataset:
-    """Exact LWW dedup that never shuffles the wide payload.
+    """Exact LWW dedup fused into the output sort — ONE exchange.
 
-    After map-side combine each block holds ≤1 row per key, so only keys
-    appearing in ≥2 blocks need a reduce. Those keys are found with a
-    single-column shuffle (cheap: just the key strings), broadcast as a
-    set, and only their rows take the wide groupby path; everything else
-    — the overwhelming majority — streams through untouched.
+    Ray's range-partitioned sort assigns every row with equal sort-key to
+    the same reduce partition (boundary assignment is a pure function of
+    the value), and each sort reduce emits exactly one block per
+    partition (``sort_task_spec.py:148-161`` → ``merge_sorted_blocks``,
+    no dynamic splitting). So after ``sort(key)`` every equal-key run is
+    fully contained in one block, and a per-block (batch_size=None)
+    vectorized winner-pick is globally exact. Map-side combine first so
+    hot keys collapse to ≤1 row per input block before the shuffle.
     """
-    import ray
 
-    # the input is consumed three times (dup detection, unique pass,
-    # dup pass) — pin it once; post-combine data is output-sized and the
-    # object store spills if it outgrows memory
-    ds = ds.materialize()
+    def combine(batch: pa.Table) -> pa.Table:
+        df = _winner_last(batch.to_pandas(), key, order)
+        return pa.Table.from_pandas(df, preserve_index=False, schema=batch.schema)
 
-    def key_only(batch: pa.Table) -> pa.Table:
-        return batch.select([key])
+    def block_winner(batch: pa.Table) -> pa.Table:
+        df = _winner_last(batch.to_pandas(), key, order)
+        return pa.Table.from_pandas(df, preserve_index=False, schema=batch.schema)
 
-    dup_keys_ds = bucketed_apply(
-        ds.map_batches(key_only, batch_format="pyarrow"),
-        [key],
-        lambda df: df[df[key].duplicated(keep="first")].drop_duplicates(),
+    # coalesce is a cheap block merge (no all-to-all) — without it the
+    # sort inherits one reduce partition per upstream block and the
+    # shuffle-object count grows quadratically
+    return (
+        coalesce(ds.map_batches(combine, batch_format="pyarrow"))
+        .sort(key)
+        .map_batches(block_winner, batch_format="pyarrow", batch_size=None)
     )
-    dup_df = dup_keys_ds.to_pandas()
-    dup_keys = set(dup_df[key]) if key in dup_df.columns else set()
-    if not dup_keys:
-        return ds
-    dup_ref = ray.put(dup_keys)
 
-    def uniques(batch: pa.Table) -> pa.Table:
-        from codetoneo4j_ray.stages.link import _cached_get
 
-        dups = _cached_get(dup_ref)
-        keep = [v not in dups for v in batch[key].to_pylist()]
-        return batch.filter(pa.array(keep, pa.bool_()))
+def distinct_sorted(edges: ray.data.Dataset) -> ray.data.Dataset:
+    """Exact distinct (subj, pred, obj) fused into the output sort — ONE
+    exchange (same equal-keys-share-a-block argument as lww_sorted)."""
 
-    def duplicated(batch: pa.Table) -> pa.Table:
-        from codetoneo4j_ray.stages.link import _cached_get
+    def local(batch: pa.Table) -> pa.Table:
+        df = batch.select(["subj", "pred", "obj"]).to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
 
-        dups = _cached_get(dup_ref)
-        keep = [v in dups for v in batch[key].to_pylist()]
-        return batch.filter(pa.array(keep, pa.bool_()))
+    def block_distinct(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False, schema=batch.schema)
 
-    unique_part = ds.map_batches(uniques, batch_format="pyarrow")
-    dup_part = bucketed_apply(
-        ds.map_batches(duplicated, batch_format="pyarrow"),
-        [key],
-        lambda df: _winner_last(df, key, order),
-    ).map_batches(lambda b: b, batch_format="pyarrow")  # pandas → arrow blocks
-    return unique_part.union(dup_part)
+    return (
+        coalesce(edges.map_batches(local, batch_format="pyarrow"))
+        .sort(["subj", "pred", "obj"])
+        .map_batches(block_distinct, batch_format="pyarrow", batch_size=None)
+    )
 
 
 def dedup_nodes(symbols: ray.data.Dataset) -> ray.data.Dataset:
-    """One row per key, deterministic last-writer-wins."""
+    """One row per key, deterministic last-writer-wins.
+
+    Map-side combine (per-block LWW collapses hot keys) then ONE
+    bucketed exchange doing the exact per-key reduce. A previous design
+    split unique keys past the shuffle, but the caller's final sort
+    moves the full payload regardless — the split's extra materialize +
+    dup-detection shuffle + driver roundtrip cost more wall time at
+    every parallelism level than the single exchange it avoided.
+    """
     combined = symbols.map_batches(_local_dedup_nodes, batch_format="pyarrow")
-    return _split_dedup(combined, "key", _TIEBREAK)
+    return bucketed_apply(
+        combined, ["key"], lambda df: _winner_last(df, "key", _TIEBREAK)
+    )
 
 
 def distinct_triples(edges: ray.data.Dataset) -> ray.data.Dataset:
@@ -127,6 +134,8 @@ def dedup_files(files: ray.data.Dataset) -> ray.data.Dataset:
         df = _winner_last(batch.to_pandas(), "key", _FILE_TIEBREAK)
         return pa.Table.from_pandas(df, preserve_index=False, schema=batch.schema)
 
-    return _split_dedup(
-        files.map_batches(local, batch_format="pyarrow"), "key", _FILE_TIEBREAK
+    return bucketed_apply(
+        files.map_batches(local, batch_format="pyarrow"),
+        ["key"],
+        lambda df: _winner_last(df, "key", _FILE_TIEBREAK),
     )

@@ -181,11 +181,17 @@ class ExtractRecords:
     object store (zero-copy for the plasma-backed buffers).
     """
 
-    def __init__(self, index_ref=None, min_accessibility: str = DEFAULT_MIN_ACCESSIBILITY):
+    def __init__(self, index_ref=None, min_accessibility: str = DEFAULT_MIN_ACCESSIBILITY,
+                 pkg_meta_ref=None):
         self.indices: dict[str, RepoTypeIndex] = (
             ray.get(index_ref) if index_ref is not None else {}
         )
         self.min_accessibility = min_accessibility
+        # package-metadata side table (nuspec-cache analog): small, read
+        # once per actor from the local object store
+        self.pkg_meta: dict | None = (
+            ray.get(pkg_meta_ref) if pkg_meta_ref is not None else None
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows: list[dict] = []
@@ -196,7 +202,7 @@ class ExtractRecords:
         for repo, path, commit, content in zip(repos, paths, commits, contents):
             ctx = extract_file(
                 repo, path, content, self.min_accessibility,
-                self.indices.get(repo),
+                self.indices.get(repo), self.pkg_meta,
             )
             if ctx is None:
                 continue
@@ -245,20 +251,38 @@ def extract_records(
     min_accessibility: str = DEFAULT_MIN_ACCESSIBILITY,
     concurrency=None,
     batch_size: int = 64,
+    pkg_meta: dict | None = None,
 ) -> ray.data.Dataset:
     """corpus → unified record stream (actor pool, Arrow in/out)."""
     index_ref = ray.put(indices) if indices is not None else None
+    pkg_meta_ref = ray.put(pkg_meta) if pkg_meta is not None else None
     kwargs = {"concurrency": concurrency if concurrency is not None else (1, 8)}
     return corpus.map_batches(
         ExtractRecords,
         fn_constructor_kwargs={
             "index_ref": index_ref,
             "min_accessibility": min_accessibility,
+            "pkg_meta_ref": pkg_meta_ref,
         },
         batch_format="pyarrow",
         batch_size=batch_size,
         **kwargs,
     )
+
+
+def load_pkg_meta(packages_path: str) -> dict:
+    """Read a (name, version, project_url, repository_url) parquet side
+    table into the lookup dict the csproj handler consults."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(packages_path)
+    out: dict = {}
+    for name, version, purl, rurl in zip(
+        t["name"].to_pylist(), t["version"].to_pylist(),
+        t["project_url"].to_pylist(), t["repository_url"].to_pylist(),
+    ):
+        out[(name.lower(), version)] = (purl, rurl)
+    return out
 
 
 def has_handler(path: str) -> bool:

@@ -447,3 +447,152 @@ def strip_internal(records: ray.data.Dataset) -> ray.data.Dataset:
     return records.filter(
         expr=f"pred != '{MEMBER_PRED}' and pred != '{BASE_PRED}'"
     )
+
+
+# ---------------------------------------------------------------------------
+# fused partitioned linking: one big exchange + small global leftovers
+# ---------------------------------------------------------------------------
+
+_KEY_PRED = "__KEYROW__"
+
+
+def _bucket_resolve_and_filter(df):
+    """Per-repo-bucket: build member indices, resolve deferred mentions,
+    and endpoint-check BOTH endpoints against the repo-local key set.
+
+    Exactness argument — why repo-local equals the global semi-join:
+    a run of the reference indexes ONE solution; every symbol
+    cross-reference it emits is intra-solution, and in the corpus model
+    a repo IS a solution. Concretely every mention endpoint is either
+    (a) a repo-prefixed key (``{repo.lower()}:...``, SymbolMapper.cs:43-47),
+    declarable only by this repo, or (b) a file-key-anchored / ``pkg:`` /
+    ``url:`` key emitted by a handler that declares the matching symbol
+    in the same file (TextSymbolMapper keys, PackageDependencyHandlerBase
+    .cs:28-45). Either way the declaring candidates live in this repo, so
+    membership in the repo-local key set decides exactly what the global
+    set would. (Pathological cross-repo key collisions — same relative
+    path, different content, one side's symbol accessibility-filtered —
+    could in principle diverge; the mode-equivalence test and the strict
+    kg_edges oracle check this continuously.)
+    """
+    import numpy as np
+    import pandas as pd
+
+    is_key = (df["pred"] == _KEY_PRED).to_numpy()
+    internal = df["pred"].isin((MEMBER_PRED, BASE_PRED)).to_numpy()
+
+    keys_by_repo: dict[str, set] = {}
+    for repo, key in zip(df["repo"].to_numpy()[is_key],
+                         df["subj"].to_numpy()[is_key]):
+        keys_by_repo.setdefault(repo, set()).add(key)
+
+    indices: dict[str, MemberIndex] = {}
+    for repo, pred, subj, obj, name, argc in zip(
+        df["repo"].to_numpy()[internal], df["pred"].to_numpy()[internal],
+        df["subj"].to_numpy()[internal], df["obj"].to_numpy()[internal],
+        df["ctx_name"].to_numpy()[internal], df["ctx_argc"].to_numpy()[internal],
+    ):
+        idx = indices.get(repo)
+        if idx is None:
+            idx = indices[repo] = MemberIndex()
+        if pred == MEMBER_PRED:
+            idx.members[(subj, name)].append((int(argc), obj))
+        else:
+            idx.bases[subj].append(obj)
+
+    out = df.loc[~(is_key | internal)].copy()
+    if not len(out):
+        return pd.DataFrame(
+            {"subj": pd.Series([], dtype=str), "pred": pd.Series([], dtype=str),
+             "obj": pd.Series([], dtype=str)}
+        )
+
+    # resolve deferred INVOKES (same logic as resolve_mentions_partitioned)
+    deferred = (out["ctx_kind"] != "").to_numpy()
+    if deferred.any():
+        objs = out["obj"].to_numpy(copy=True)
+        drop = np.zeros(len(out), dtype=bool)
+        rows = zip(
+            np.nonzero(deferred)[0],
+            out["repo"].to_numpy()[deferred],
+            out["ctx_kind"].to_numpy()[deferred],
+            out["ctx_name"].to_numpy()[deferred],
+            out["ctx_receiver"].to_numpy()[deferred],
+            out["ctx_argc"].to_numpy()[deferred],
+        )
+        for pos, repo, kind, name, recv, argc in rows:
+            argc = int(argc)
+            key = _lookup_site(indices.get(repo), kind, recv, name, argc)
+            if key is None:
+                if kind in ("mgroup", "cast", "conv", "binop", "unop"):
+                    drop[pos] = True
+                    continue
+                repo_key = repo.lower()
+                if kind == "ctor":
+                    simple = recv.rsplit(".", 1)[-1].split("<", 1)[0]
+                    key = f"{repo_key}:{recv}.{simple}(~{argc})"
+                else:
+                    key = f"{repo_key}:{recv}.{name}(~{argc})"
+            objs[pos] = key
+        out["obj"] = objs
+        if drop.any():
+            out = out.loc[~drop]
+
+    # vectorized per-repo membership check on both endpoints
+    keep = np.ones(len(out), dtype=bool)
+    for repo, grp in out.groupby("repo", sort=False):
+        kset = keys_by_repo.get(repo, set())
+        loc = out.index.get_indexer(grp.index)
+        keep[loc] = (
+            grp["subj"].isin(kset).to_numpy()
+            & grp["obj"].isin(kset).to_numpy()
+        )
+    out = out.loc[keep]
+    # local distinct: all of a repo's mentions share this bucket, so this
+    # is a combine; the global distinct fuses into the final sort
+    return out[["subj", "pred", "obj"]].drop_duplicates()
+
+
+def resolve_link_fused(
+    raw_mentions: ray.data.Dataset,
+    symbols: ray.data.Dataset,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Fully-partitioned stage 2 for edges in ONE exchange.
+
+    Mentions, the internal __MEMBER__/__BASE__ rows AND the declared-key
+    rows all hash-partition by ``repo`` — the pipeline-wide key — so each
+    bucket resolves deferred INVOKES and endpoint-checks both ends
+    against its repos' key sets with zero driver state and zero further
+    exchanges (see _bucket_resolve_and_filter for why repo-local checks
+    are exact). Output is (subj, pred, obj) with per-repo distinct
+    applied; callers fuse the global distinct + sort into one exchange
+    via canonicalize.distinct_sorted.
+    """
+    from codetoneo4j_ray.stages.bucketing import bucketed_apply
+
+    cols = ["subj", "pred", "obj", "repo", "ctx_kind", "ctx_name",
+            "ctx_receiver", "ctx_argc"]
+
+    def keys_as_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "subj": batch["key"],
+                "pred": pa.array([_KEY_PRED] * n, pa.string()),
+                "obj": pa.nulls(n, pa.string()),
+                "repo": batch["repo"],
+                "ctx_kind": pa.array([""] * n, pa.string()),
+                "ctx_name": pa.nulls(n, pa.string()),
+                "ctx_receiver": pa.nulls(n, pa.string()),
+                "ctx_argc": pa.nulls(n, pa.int32()),
+            }
+        )
+
+    e1_in = raw_mentions.select_columns(cols).union(
+        symbols.select_columns(["key", "repo"]).map_batches(
+            keys_as_rows, batch_format="pyarrow"
+        )
+    )
+    return bucketed_apply(e1_in, ["repo"], _bucket_resolve_and_filter,
+                          num_buckets)

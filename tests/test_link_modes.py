@@ -48,3 +48,28 @@ def test_partitioned_join_matches_broadcast():
     assert b == p
     assert ("k1", "src__CONTAINS", "k1") in p
     assert not any(o == "k51" for _s, _p2, o in p)
+
+
+def test_graph_modes_output_identical(tmp_path):
+    """broadcast vs partitioned (fused repo-local linking) must produce
+    byte-identical nodes/edges/files over the full synthetic corpus —
+    the exactness contract of the repo-prefix local-check optimization."""
+    from codetoneo4j_ray.pipelines.build_graph import (
+        extract_to_records,
+        graph_from_records,
+        read_corpus,
+    )
+    from codetoneo4j_ray.sources.synth import ensure_corpus
+
+    corpus = read_corpus(ensure_corpus("/root/testdata/sf0.001"))
+    records_dir = str(tmp_path / "records")
+    extract_to_records(corpus).write_parquet(
+        records_dir, partition_cols=["rec_type"]
+    )
+    a = graph_from_records(records_dir=records_dir, mode="broadcast")
+    b = graph_from_records(records_dir=records_dir, mode="partitioned")
+    for name in ("nodes", "edges", "files"):
+        da = a[name].to_pandas().reset_index(drop=True)
+        db = b[name].to_pandas().reset_index(drop=True)
+        assert list(da.columns) == list(db.columns), name
+        assert da.equals(db), f"{name} differs between modes"

@@ -154,11 +154,50 @@ class TestRazor:
         assert ctx.file_namespace_override == "My.Views"
         kinds = {(s["kind"], s["name"]) for s in ctx.symbols}
         assert kinds == {
+            ("NamedType", "V"),          # generated component class
             ("UsingDirective", "System.Text"),
             ("InjectDirective", "IFoo foo"),
             ("ModelDirective", "MyModel"),
             ("InheritsDirective", "BasePage"),
         }
+        # file key overridden with the generated type FQN
+        # (RazorHandler.cs:60-65); directive keys anchor on it
+        assert ctx.file_key == "My.Views.V"
+        assert any(s["key"] == "My.Views.V:ModelDirective:MyModel"
+                   for s in ctx.symbols)
+
+    def test_generated_code_members(self):
+        """@code members extract as Roslyn-shaped symbols of the
+        generated component class, lines mapped to the template
+        (RazorHandler.cs:34-78 generated-tree pass)."""
+        ctx = run("src/App/Pages/Counter.razor",
+                  "@namespace Acme.Pages\n"
+                  "<h1>c</h1>\n"
+                  "@code {\n"
+                  "    private int count = 0;\n"
+                  "    public void Increment()\n"
+                  "    {\n"
+                  "        count++;\n"
+                  "        Helper();\n"
+                  "    }\n"
+                  "    private void Helper() { }\n"
+                  "}\n")
+        keys = {s["key"]: s for s in ctx.symbols}
+        assert "test-repo:Acme.Pages.Counter" in keys
+        assert "test-repo:Acme.Pages.Counter.Increment()" in keys
+        assert keys["test-repo:Acme.Pages.Counter.count"]["start_line"] == 4
+        assert keys["test-repo:Acme.Pages.Counter.Increment()"]["start_line"] == 5
+        assert (
+            "test-repo:Acme.Pages.Counter",
+            "src__CONTAINS",
+            "test-repo:Acme.Pages.Counter.Increment()",
+        ) in rels(ctx)
+
+    def test_no_code_block_still_emits_component(self):
+        ctx = run("src/App/Pages/Home.razor", "<h1>home</h1>\n")
+        # namespace falls back to the inferred directory namespace
+        comps = [s for s in ctx.symbols if s["kind"] == "NamedType"]
+        assert len(comps) == 1 and comps[0]["name"] == "Home"
 
 
 class TestXaml:
@@ -224,3 +263,32 @@ class TestXamlResources:
         color = sym(ctx, kind="XamlElement", name="Primary")
         assert color and color[0]["key"] == "a/R.xaml:Color:Primary:4"
         assert color[0]["fqn"] == "Color:Primary"
+
+
+def test_csproj_pkg_meta_urls():
+    """Package-metadata side table → HAS_URL url records for .NET deps
+    (nuspec-cache analog, CsprojHandler.CollectNuspecUrls:139-154)."""
+    from codetoneo4j_ray.extractors import extract_file
+
+    content = """<Project Sdk="Microsoft.NET.Sdk">
+  <ItemGroup>
+    <PackageReference Include="Newtonsoft.Json" Version="13.0.1" />
+    <PackageReference Include="NoMeta" Version="1.0.0" />
+    <PackageReference Include="NoVersion" />
+  </ItemGroup>
+</Project>
+"""
+    meta = {("newtonsoft.json", "13.0.1"):
+            ("https://www.newtonsoft.com/json",
+             "https://github.com/JamesNK/Newtonsoft.Json")}
+    ctx = extract_file("r", "src/App/App.csproj", content, "Private",
+                       pkg_meta=meta)
+    urls = [(u["dep_key"], u["url_key"]) for u in ctx.urls]
+    assert ("pkg:Newtonsoft.Json", "url:https://www.newtonsoft.com/json") in urls
+    assert ("pkg:Newtonsoft.Json",
+            "url:https://github.com/JamesNK/Newtonsoft.Json") in urls
+    assert len(urls) == 2  # NoMeta / NoVersion contribute none
+
+    # without the side table: no urls (round-1 behavior preserved)
+    ctx2 = extract_file("r", "src/App/App.csproj", content, "Private")
+    assert ctx2.urls == []
