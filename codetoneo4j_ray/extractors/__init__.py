@@ -62,8 +62,8 @@ def extract_file(
     try:
         if handler.name == "csharp":
             fn(ctx, min_accessibility, repo_index or _EMPTY_INDEX)
-        elif handler.name == "razor":
-            # the generated-code pass types receivers against the same
+        elif handler.name in ("razor", "xaml"):
+            # the generated-code passes type receivers against the same
             # repo-wide index the C# extractor uses
             fn(ctx, min_accessibility, repo_index or _EMPTY_INDEX)
         elif handler.name in ("typescript", "javascript"):

@@ -510,7 +510,8 @@ def _get_xaml_attr(elem: XmlElem, local_name: str):
     return None
 
 
-def extract_xaml(ctx: FileContext, min_accessibility: str) -> None:
+def extract_xaml(ctx: FileContext, min_accessibility: str,
+                 repo_index=None) -> None:
     try:
         root = parse_xml(ctx.content)
     except XmlParseError:
@@ -522,6 +523,72 @@ def extract_xaml(ctx: FileContext, min_accessibility: str) -> None:
         ns = x_class.value.rsplit(".", 1)[0] if "." in x_class.value else None
     ctx.file_namespace_override = ns
     _process_xaml_element(ctx, root, ns, min_accessibility)
+    if x_class is not None and x_class.value:
+        _xaml_generated_pass(ctx, root, x_class.value, min_accessibility,
+                             repo_index)
+
+
+def _xaml_generated_pass(
+    ctx: FileContext, root: XmlElem, x_class: str, min_accessibility: str,
+    repo_index=None,
+) -> None:
+    """Generated-code analog (XamlHandler.cs:61-88): the XAML compiler's
+    ``.g.cs`` partial class — one typed field per ``x:Name`` element plus
+    ``InitializeComponent()`` — processed like any C# tree, mapped back
+    to the .xaml file (file key stays the path; unlike Razor there is no
+    key override). Element-type fields reference framework types
+    (Button, …) whose DEPENDS_ON mentions dangle and drop at linking,
+    exactly as the reference's generated-field types do."""
+    from codetoneo4j_ray.extractors.base import FileContext as _FC
+    from codetoneo4j_ray.extractors.csharp.extractor import extract_csharp
+    from codetoneo4j_ray.extractors.csharp.types import RepoTypeIndex
+
+    gen_ns = x_class.rsplit(".", 1)[0] if "." in x_class else None
+    cls = x_class.rsplit(".", 1)[-1]
+    fields: list[tuple[str, str, int]] = []  # (type, name, orig_line)
+
+    def walk(elem: XmlElem) -> None:
+        xn = _get_xaml_attr(elem, "Name")
+        if xn is not None and xn.value:
+            fields.append((elem.local_name, xn.value, elem.line))
+        for child in elem.children:
+            walk(child)
+
+    walk(root)
+
+    syn_lines: list[str] = []
+    line_map: dict[int, int] = {}
+
+    def emit(text: str, orig_line: int | None = None) -> None:
+        syn_lines.append(text)
+        if orig_line is not None:
+            line_map[len(syn_lines)] = orig_line
+
+    if gen_ns:
+        emit(f"namespace {gen_ns};")
+    emit(f"public partial class {cls}")
+    emit("{")
+    for ftype, fname, fline in fields:
+        emit(f"    internal {ftype} {fname};", orig_line=fline)
+    emit("    private void InitializeComponent() { }")
+    emit("}")
+
+    child = _FC(
+        repo=ctx.repo, repo_key=ctx.repo_key, path=ctx.path,
+        file_key=ctx.file_key, namespace=gen_ns or "",
+        content="\n".join(syn_lines),
+        language=ctx.language, technology=ctx.technology,
+    )
+    try:
+        extract_csharp(child, min_accessibility,
+                       repo_index or RepoTypeIndex())
+    except Exception:  # noqa: BLE001 — synthesis must never fail the file
+        return
+    for s in child.symbols:
+        s["start_line"] = line_map.get(s["start_line"], 1)
+        s["end_line"] = line_map.get(s["end_line"], 1)
+    ctx.symbols.extend(child.symbols)
+    ctx.mentions.extend(child.mentions)
 
 
 def _process_xaml_element(

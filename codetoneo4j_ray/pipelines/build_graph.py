@@ -178,8 +178,20 @@ def build_graph(
         t0 = time.perf_counter()
         shutil.rmtree(records_dir, ignore_errors=True)
         corpus = read_corpus(input_path)
-        records = extract_to_records(corpus, min_accessibility, concurrency,
-                                     pkg_meta=pkg_meta)
+        if mode == "partitioned":
+            # multi-node configuration end-to-end: the repo-bucketed
+            # extraction holds per-bucket indices only — nothing on the
+            # driver or any worker grows with corpus size
+            from codetoneo4j_ray.stages.extract import (
+                extract_records_partitioned,
+            )
+
+            records = extract_records_partitioned(
+                corpus, min_accessibility, pkg_meta=pkg_meta
+            )
+        else:
+            records = extract_to_records(corpus, min_accessibility,
+                                         concurrency, pkg_meta=pkg_meta)
         # hive-partition the checkpoint by rec_type (partition-pruned
         # reads downstream); block count already bounded at the read
         records.write_parquet(records_dir, partition_cols=["rec_type"])

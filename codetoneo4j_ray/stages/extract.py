@@ -270,6 +270,128 @@ def extract_records(
     )
 
 
+def extract_records_partitioned(
+    corpus: ray.data.Dataset,
+    min_accessibility: str = DEFAULT_MIN_ACCESSIBILITY,
+    num_buckets: int = 64,
+    pkg_meta: dict | None = None,
+) -> ray.data.Dataset:
+    """Fully-partitioned stage 1: no driver-resident type index.
+
+    Pass-A skim rows and corpus rows hash-partition by ``repo`` (the
+    pipeline-wide key); each bucket assembles ONLY its repos' type
+    indices and extracts its repos' files. Content crosses the wire once
+    (the repo exchange) instead of zero, but no structure on any single
+    node grows with corpus size — the multi-node configuration the
+    broadcast index cannot provide (its dict grows with total declared
+    types). The broadcast actor-pool path stays the single-node default.
+    """
+    import pandas as pd
+
+    from codetoneo4j_ray.extractors.csharp.extractor import parse_member_types
+    from codetoneo4j_ray.extractors.csharp.types import TypeInfo
+    from codetoneo4j_ray.stages.bucketing import bucketed_apply
+
+    pkg_ref = ray.put(pkg_meta) if pkg_meta is not None else None
+
+    # shared union schema: corpus columns + type-index columns + __side
+    def corpus_side(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {"__side": pa.array(["c"] * n, pa.string())}
+        for name in ("repo", "path", "commit", "content"):
+            cols[name] = batch[name]
+        for fld in _TYPE_INDEX_SCHEMA:
+            if fld.name not in cols:
+                cols[fld.name] = pa.nulls(n, fld.type)
+        return pa.table(cols)
+
+    def index_side(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {"__side": pa.array(["i"] * n, pa.string())}
+        for fld in _TYPE_INDEX_SCHEMA:
+            cols[fld.name] = batch[fld.name]
+        for name in ("path", "commit", "content"):
+            if name not in cols:
+                cols[name] = pa.nulls(n, pa.string())
+        return pa.table(cols)
+
+    idx_rows = corpus.map_batches(skim_batch, batch_format="pyarrow").map_batches(
+        index_side, batch_format="pyarrow"
+    )
+    both = corpus.map_batches(corpus_side, batch_format="pyarrow").union(idx_rows)
+
+    def extract_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        meta = ray.get(pkg_ref) if pkg_ref is not None else None
+        indices: dict[str, RepoTypeIndex] = {}
+        idx_part = df[df["__side"] == "i"]
+        for repo, g in idx_part.groupby("repo", sort=False):
+            idx = indices[repo] = RepoTypeIndex()
+            for row in g.itertuples(index=False):
+                if row.rec_type == "type":
+                    idx.add_type(
+                        TypeInfo(
+                            row.full_name, int(row.arity), bool(row.is_value),
+                            row.kind,
+                            tuple(b for b in row.bases.split(";") if b),
+                            tuple(p for p in row.type_params.split(";") if p),
+                            parse_member_types(row.members),
+                        )
+                    )
+                else:
+                    idx.global_usings.append((row.file_key, row.text))
+        rows: list[dict] = []
+        c_part = df[df["__side"] == "c"]
+        for repo, path, commit, content in zip(
+            c_part["repo"], c_part["path"], c_part["commit"], c_part["content"]
+        ):
+            ctx = extract_file(repo, path, content, min_accessibility,
+                              indices.get(repo), meta)
+            if ctx is None:
+                continue
+            for s in ctx.symbols:
+                s["rec_type"] = "symbol"
+                rows.append(s)
+            for m in ctx.mentions:
+                m["rec_type"] = "mention"
+                m["path"] = path
+                rows.append(m)
+            for u in ctx.urls:
+                u["rec_type"] = "url"
+                u["path"] = path
+                rows.append(u)
+            ns = ctx.file_namespace_override
+            if ns is None and ctx.namespace:
+                ns = ctx.namespace
+            rows.append(
+                {"rec_type": "file", "key": ctx.file_key, "path": path,
+                 "file_name": path.rsplit("/", 1)[-1], "namespace": ns,
+                 "sha256": sha256_hex(content), "language": ctx.language,
+                 "technology": ctx.technology, "repo": repo, "commit": commit}
+            )
+        out = {f.name: [r.get(f.name) for r in rows] for f in RECORD_SCHEMA}
+        return pd.DataFrame(out)
+
+    def to_schema(batch: pa.Table) -> pa.Table:
+        # pandas bucket outputs back to the canonical arrow record schema
+        cols = {}
+        for fld in RECORD_SCHEMA:
+            if fld.name in batch.column_names:
+                col = batch[fld.name]
+                col = (
+                    pa.nulls(batch.num_rows, fld.type)
+                    if pa.types.is_null(col.type)
+                    else col.combine_chunks().cast(fld.type)
+                )
+            else:
+                col = pa.nulls(batch.num_rows, fld.type)
+            cols[fld.name] = col
+        return pa.table(cols, schema=RECORD_SCHEMA)
+
+    return bucketed_apply(both, ["repo"], extract_bucket, num_buckets).map_batches(
+        to_schema, batch_format="pyarrow"
+    )
+
+
 def load_pkg_meta(packages_path: str) -> dict:
     """Read a (name, version, project_url, repository_url) parquet side
     table into the lookup dict the csproj handler consults."""

@@ -73,3 +73,25 @@ def test_graph_modes_output_identical(tmp_path):
         db = b[name].to_pandas().reset_index(drop=True)
         assert list(da.columns) == list(db.columns), name
         assert da.equals(db), f"{name} differs between modes"
+
+
+def test_stage1_partitioned_matches_actor_pool(tmp_path):
+    """Repo-bucketed extraction (no driver index) must produce the same
+    record multiset as the broadcast actor-pool path."""
+    import pandas as pd
+
+    from codetoneo4j_ray.pipelines.build_graph import (
+        extract_to_records,
+        read_corpus,
+    )
+    from codetoneo4j_ray.sources.synth import ensure_corpus
+    from codetoneo4j_ray.stages.extract import extract_records_partitioned
+
+    corpus = read_corpus(ensure_corpus("/root/testdata/sf0.001"))
+    a = extract_to_records(corpus).to_pandas()
+    b = extract_records_partitioned(corpus).to_pandas()
+    assert list(a.columns) == list(b.columns)
+    key_cols = list(a.columns)
+    a_s = a.sort_values(key_cols, kind="stable").reset_index(drop=True)
+    b_s = b.sort_values(key_cols, kind="stable").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a_s, b_s, check_dtype=True)

@@ -213,6 +213,23 @@ class TestXaml:
         ctx = run("a/M.xaml", self.CONTENT)
         assert ctx.file_namespace_override == "My.App"
 
+    def test_generated_partial_class(self):
+        """Generated-code analog (.g.cs partial class): one field per
+        x:Name + InitializeComponent, mapped to the .xaml file with NO
+        file-key override (XamlHandler.cs:61-88)."""
+        ctx = run("a/M.xaml", self.CONTENT)
+        assert ctx.file_key == "a/M.xaml"  # unlike Razor, key stays path
+        keys = {s["key"]: s for s in ctx.symbols}
+        assert "test-repo:My.App.MainPage" in keys
+        fld = keys["test-repo:My.App.MainPage.Input"]
+        assert fld["kind"] == "Field" and fld["start_line"] == 5
+        assert "test-repo:My.App.MainPage.InitializeComponent()" in keys
+        assert (
+            "test-repo:My.App.MainPage",
+            "src__CONTAINS",
+            "test-repo:My.App.MainPage.Input",
+        ) in rels(ctx)
+
     def test_elements_with_name_suffix(self):
         ctx = run("a/M.xaml", self.CONTENT)
         entry = sym(ctx, kind="XamlElement", name="Input")
