@@ -38,9 +38,15 @@ def extract_file(
     min_accessibility: str,
     repo_index: RepoTypeIndex | None = None,
     pkg_meta: dict | None = None,
+    no_key: bool = False,
 ) -> FileContext | None:
     """Run the matching handler for one corpus row; None when no handler
-    or the path is in an excluded directory."""
+    or the path is in an excluded directory.
+
+    ``no_key`` reproduces the reference's ``--no-key``: repoKey = null,
+    so C#-style symbol keys interpolate to ``:{display}``
+    (OptionsBinder.cs:89-99, SymbolMapper.cs:43-47) — for instances
+    dedicated to a single repository."""
     if is_excluded(path):
         return None
     handler = resolve_handler(path)
@@ -49,7 +55,7 @@ def extract_file(
     file_key, namespace = infer_file_metadata(path)
     ctx = FileContext(
         repo=repo,
-        repo_key=repo.lower(),
+        repo_key="" if no_key else repo.lower(),
         path=path,
         file_key=file_key,
         namespace=namespace,

@@ -55,12 +55,13 @@ def extract_to_records(
     min_accessibility: str = DEFAULT_MIN_ACCESSIBILITY,
     concurrency=None,
     pkg_meta: dict | None = None,
+    no_key: bool = False,
 ) -> ray.data.Dataset:
     """Stages 1a+1b, returning the unified record stream (lazy)."""
     indices = build_type_index(corpus)
     return extract_records(
         corpus, indices, min_accessibility, concurrency=concurrency,
-        pkg_meta=pkg_meta,
+        pkg_meta=pkg_meta, no_key=no_key,
     )
 
 
@@ -78,6 +79,7 @@ def graph_from_records(
     records: ray.data.Dataset | None = None,
     records_dir: str | None = None,
     mode: str = "broadcast",
+    no_key: bool = False,
 ) -> dict[str, ray.data.Dataset]:
     """Stages 2–4 from a (re-readable) record stream.
 
@@ -138,7 +140,10 @@ def graph_from_records(
     # ONE exchange per table (see canonicalize.lww_sorted for the
     # exactness argument). finalize (truncate-8000 + projection) runs
     # BEFORE the node shuffle so untruncated doc strings never move.
-    edges = distinct_sorted(sym_edges.union(structural_edges(records)))
+    edges = distinct_sorted(
+        sym_edges.union(structural_edges(records,
+                                         include_project=not no_key))
+    )
     nodes = lww_sorted(finalize_nodes(symbols), "key", _TIEBREAK)
     files_out = lww_sorted(finalize_files(files), "key", _FILE_TIEBREAK)
     return {
@@ -157,10 +162,11 @@ def build_graph(
     concurrency=None,
     mode: str = "broadcast",
     packages_path: str | None = None,
+    no_key: bool = False,
 ) -> dict:
     """Full run with a records checkpoint; returns metrics."""
     config = {"min_accessibility": min_accessibility, "v": 2,
-              "packages": packages_path}
+              "packages": packages_path, "no_key": no_key}
     fp = corpus_fingerprint(input_path, config)
     records_dir = f"{out_dir}/records"
 
@@ -187,11 +193,12 @@ def build_graph(
             )
 
             records = extract_records_partitioned(
-                corpus, min_accessibility, pkg_meta=pkg_meta
+                corpus, min_accessibility, pkg_meta=pkg_meta, no_key=no_key
             )
         else:
             records = extract_to_records(corpus, min_accessibility,
-                                         concurrency, pkg_meta=pkg_meta)
+                                         concurrency, pkg_meta=pkg_meta,
+                                         no_key=no_key)
         # hive-partition the checkpoint by rec_type (partition-pruned
         # reads downstream); block count already bounded at the read
         records.write_parquet(records_dir, partition_cols=["rec_type"])
@@ -205,7 +212,8 @@ def build_graph(
     from concurrent.futures import ThreadPoolExecutor
 
     _stub_fsspec_http()
-    outputs = graph_from_records(records_dir=records_dir, mode=mode)
+    outputs = graph_from_records(records_dir=records_dir, mode=mode,
+                                 no_key=no_key)
     metrics: dict = {}
 
     def write_one(name: str) -> tuple[str, int]:

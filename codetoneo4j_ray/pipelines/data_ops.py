@@ -148,16 +148,12 @@ def doc_dedup_minhash(sf_dir: str, jaccard_threshold: float = 0.8) -> ray.data.D
              "doc_b": pd.Series(out_b, dtype="int64")}
         )
 
-    candidates = bucketed_apply(
+    cand = bucketed_apply(
         _docs(sf_dir, ["doc_id", "text"]).map_batches(
             to_bands, batch_format="pyarrow"
         ),
         ["band", "bucket"],
         bucket_pairs,
-    )
-    # dedup candidate pairs across bands
-    cand = bucketed_apply(
-        candidates, ["doc_a", "doc_b"], lambda df: df.drop_duplicates()
     )
 
     # Exact-Jaccard verification, fully distributed: candidates bucket-join
@@ -206,6 +202,9 @@ def doc_dedup_minhash(sf_dir: str, jaccard_threshold: float = 0.8) -> ray.data.D
         sh_map = dict(zip(df.loc[df["side"] == "s", "key"],
                           df.loc[df["side"] == "s", "sh"]))
         c = df[df["side"] == "c"]
+        # every copy of a candidate pair (from different LSH bands) lands
+        # in this bucket (keyed by doc_a) — dedup here, no extra exchange
+        c = c.drop_duplicates(subset=["key", "other"])
         # re-key on doc_b for the second pass; carry doc_a's shingles
         return pd.DataFrame(
             {
@@ -309,31 +308,69 @@ def doc_simhash(sf_dir: str) -> ray.data.Dataset:
 
 
 def doc_ngram_jaccard(sf_dir: str, threshold: float = 0.5) -> ray.data.Dataset:
-    """Exact word-3-gram Jaccard ≥ threshold pairs within source groups
-    (documents sharing `source` — a natural blocking key)."""
+    """Exact word-3-gram Jaccard ≥ threshold pairs within source groups,
+    sub-blocked by shingle-count band so one hot source is never O(n²):
+    J(A,B) ≥ t ⇒ |A|/|B| ∈ [t, 1/t], so with log₂ size bands a
+    qualifying pair sits in the same or adjacent band. Each doc lands in
+    buckets (band, band+1); a pair is emitted only where
+    max(band_a, band_b) == bucket band — every qualifying pair exactly
+    once, all-pairs cost bounded per (source, band)."""
+    import math
 
-    def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        rows = sorted(zip(group["doc_id"], group["text"]))
-        out = []
-        sh = [(d, _shingles(t)) for d, t in rows]
-        for i in range(len(sh)):
-            for j in range(i + 1, len(sh)):
-                a, sa = sh[i]
-                b, sb = sh[j]
-                union = len(sa | sb)
-                jac = (len(sa & sb) / union) if union else 1.0
-                if jac >= threshold:
-                    out.append((a, b))
+    def to_bands(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        sources = batch["source"].to_pylist()
+        o_id, o_src, o_band, o_bucket, o_sh = [], [], [], [], []
+        for doc_id, text, src in zip(ids, texts, sources):
+            sh = _shingles(text)
+            band = int(math.log2(len(sh))) if sh else -1
+            blob = np.fromiter(sorted(sh), dtype=np.uint64).tobytes()
+            for bucket in (band, band + 1):
+                o_id.append(doc_id)
+                o_src.append(src)
+                o_band.append(band)
+                o_bucket.append(bucket)
+                o_sh.append(blob)
+        return pa.table(
+            {
+                "doc_id": pa.array(o_id, pa.int64()),
+                "source": pa.array(o_src, pa.string()),
+                "band": pa.array(o_band, pa.int32()),
+                "bucket": pa.array(o_bucket, pa.int32()),
+                "sh": pa.array(o_sh, pa.binary()),
+            }
+        )
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out: list[tuple[int, int]] = []
+        for (_src, bucket), g in df.groupby(["source", "bucket"], sort=False):
+            rows = sorted(
+                zip(g["doc_id"], g["band"], g["sh"])
+            )
+            for i in range(len(rows)):
+                for j in range(i + 1, len(rows)):
+                    a, band_a, sa_b = rows[i]
+                    b, band_b, sb_b = rows[j]
+                    if a == b or max(band_a, band_b) != bucket:
+                        continue
+                    sa = np.frombuffer(sa_b, dtype=np.uint64)
+                    sb = np.frombuffer(sb_b, dtype=np.uint64)
+                    inter = len(np.intersect1d(sa, sb, assume_unique=True))
+                    union = len(sa) + len(sb) - inter
+                    jac = (inter / union) if union else 1.0
+                    if jac >= threshold:
+                        out.append((a, b) if a < b else (b, a))
         if not out:
             return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
                                  "doc_b": pd.Series([], dtype="int64")})
-        return pd.DataFrame(out, columns=["doc_a", "doc_b"])
+        return pd.DataFrame(sorted(set(out)), columns=["doc_a", "doc_b"])
 
-    return (
-        _docs(sf_dir, ["doc_id", "text", "source"])
-        .groupby("source")
-        .map_groups(pairs, batch_format="pandas")
-        .sort(["doc_a", "doc_b"])
+    banded = _docs(sf_dir, ["doc_id", "text", "source"]).map_batches(
+        to_bands, batch_format="pyarrow"
+    )
+    return bucketed_apply(banded, ["source", "bucket"], pairs).sort(
+        ["doc_a", "doc_b"]
     )
 
 

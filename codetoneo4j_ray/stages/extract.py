@@ -182,7 +182,7 @@ class ExtractRecords:
     """
 
     def __init__(self, index_ref=None, min_accessibility: str = DEFAULT_MIN_ACCESSIBILITY,
-                 pkg_meta_ref=None):
+                 pkg_meta_ref=None, no_key: bool = False):
         self.indices: dict[str, RepoTypeIndex] = (
             ray.get(index_ref) if index_ref is not None else {}
         )
@@ -192,6 +192,7 @@ class ExtractRecords:
         self.pkg_meta: dict | None = (
             ray.get(pkg_meta_ref) if pkg_meta_ref is not None else None
         )
+        self.no_key = no_key
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows: list[dict] = []
@@ -202,7 +203,7 @@ class ExtractRecords:
         for repo, path, commit, content in zip(repos, paths, commits, contents):
             ctx = extract_file(
                 repo, path, content, self.min_accessibility,
-                self.indices.get(repo), self.pkg_meta,
+                self.indices.get(repo), self.pkg_meta, self.no_key,
             )
             if ctx is None:
                 continue
@@ -252,6 +253,7 @@ def extract_records(
     concurrency=None,
     batch_size: int = 64,
     pkg_meta: dict | None = None,
+    no_key: bool = False,
 ) -> ray.data.Dataset:
     """corpus → unified record stream (actor pool, Arrow in/out)."""
     index_ref = ray.put(indices) if indices is not None else None
@@ -263,6 +265,7 @@ def extract_records(
             "index_ref": index_ref,
             "min_accessibility": min_accessibility,
             "pkg_meta_ref": pkg_meta_ref,
+            "no_key": no_key,
         },
         batch_format="pyarrow",
         batch_size=batch_size,
@@ -275,6 +278,7 @@ def extract_records_partitioned(
     min_accessibility: str = DEFAULT_MIN_ACCESSIBILITY,
     num_buckets: int = 64,
     pkg_meta: dict | None = None,
+    no_key: bool = False,
 ) -> ray.data.Dataset:
     """Fully-partitioned stage 1: no driver-resident type index.
 
@@ -345,7 +349,7 @@ def extract_records_partitioned(
             c_part["repo"], c_part["path"], c_part["commit"], c_part["content"]
         ):
             ctx = extract_file(repo, path, content, min_accessibility,
-                              indices.get(repo), meta)
+                              indices.get(repo), meta, no_key)
             if ctx is None:
                 continue
             for s in ctx.symbols:

@@ -41,8 +41,13 @@ def _triples(subjs, preds, objs) -> pa.Table:
     )
 
 
-def structural_edges_batch(batch: pa.Table) -> pa.Table:
-    """records batch → structural triples (vector-ish, one pass)."""
+def structural_edges_batch(batch: pa.Table, include_project: bool = True) -> pa.Table:
+    """records batch → structural triples (vector-ish, one pass).
+
+    ``include_project=False`` reproduces ``--no-key``: with a null
+    repoKey the UpsertFile/UpsertDependencies cyphers' OPTIONAL MATCH on
+    the Project node finds nothing, so no Project HAS_FILE / Project
+    DEPENDS_ON edges are created (UpsertFile.cypher:18-24)."""
     rec_type = batch["rec_type"].to_pylist()
     keys = batch["key"].to_pylist()
     file_keys = batch["file_key"].to_pylist()
@@ -66,15 +71,16 @@ def structural_edges_batch(batch: pa.Table) -> pa.Table:
                     subjs.append(keys[i])
                     preds.append(HAS_TAG)
                     objs.append(tag)
-            if kinds[i] == "Dependency":
+            if kinds[i] == "Dependency" and include_project:
                 # Project DEPENDS_ON Dependency (DependencyIngestor analog)
                 subjs.append(repos[i].lower())
                 preds.append(DEPENDS_ON)
                 objs.append(keys[i])
         elif rt == "file":
-            subjs.append(repos[i].lower())
-            preds.append(HAS_FILE)
-            objs.append(keys[i])
+            if include_project:
+                subjs.append(repos[i].lower())
+                preds.append(HAS_FILE)
+                objs.append(keys[i])
         elif rt == "url":
             subjs.append(dep_keys[i])
             preds.append(HAS_URL)
@@ -82,8 +88,16 @@ def structural_edges_batch(batch: pa.Table) -> pa.Table:
     return _triples(subjs, preds, objs)
 
 
-def structural_edges(records: ray.data.Dataset) -> ray.data.Dataset:
-    return records.map_batches(structural_edges_batch, batch_format="pyarrow")
+def structural_edges(
+    records: ray.data.Dataset, include_project: bool = True
+) -> ray.data.Dataset:
+    import functools
+
+    return records.map_batches(
+        functools.partial(structural_edges_batch,
+                          include_project=include_project),
+        batch_format="pyarrow",
+    )
 
 
 def finalize_nodes(nodes: ray.data.Dataset) -> ray.data.Dataset:

@@ -1,0 +1,72 @@
+"""CLI surface (Program.cs analog) + --no-key end-to-end."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from codetoneo4j_ray.schema import CORPUS_SCHEMA
+
+ROWS = [
+    ("MyRepo", "src/A.cs", "c" * 40, "csharp",
+     "namespace N;\npublic class A { public void M() { } }"),
+]
+
+
+def _corpus(tmp_path):
+    cols = list(zip(*ROWS))
+    t = pa.table(
+        {f.name: pa.array(list(cols[i]), pa.string())
+         for i, f in enumerate(CORPUS_SCHEMA)},
+        schema=CORPUS_SCHEMA,
+    )
+    p = str(tmp_path / "corpus.parquet")
+    pq.write_table(t, p)
+    return p
+
+
+def test_no_key_drops_repo_prefix_and_project_edges(ray_session, tmp_path):
+    """--no-key: repoKey null → keys ':{display}' and no Project edges
+    (OptionsBinder.cs:89-99, UpsertFile.cypher OPTIONAL MATCH)."""
+    import ray.data as rd
+
+    from codetoneo4j_ray.pipelines.build_graph import build_graph
+
+    p = _corpus(tmp_path)
+    out = str(tmp_path / "out")
+    build_graph(p, out, no_key=True)
+    nodes = rd.read_parquet(f"{out}/nodes").to_pandas()
+    assert ":N.A" in set(nodes["key"])           # null repoKey prefix
+    edges = rd.read_parquet(f"{out}/edges").to_pandas()
+    assert not (edges["pred"] == "src__HAS_FILE").any()
+    # DECLARES + linking still work against the ':'-prefixed keys
+    assert ((edges["pred"] == "src__DECLARES")
+            & (edges["obj"] == ":N.A")).any()
+
+
+def test_cli_build_and_purge(ray_session, tmp_path, monkeypatch, capsys):
+    from codetoneo4j_ray import cli
+
+    p = _corpus(tmp_path)
+    out = str(tmp_path / "cli_out")
+    # ray already initialised by the fixture — cli must not re-init/shutdown
+    monkeypatch.setattr("ray.shutdown", lambda: None)
+    rc = cli.main(["build", "--input", p, "--output", out])
+    assert rc == 0
+    import json
+    import os
+
+    metrics = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert metrics["nodes"] >= 2 and os.path.isdir(f"{out}/edges")
+
+    rc = cli.main(["purge", "--output", out, "--yes"])
+    assert rc == 0
+    assert not os.path.exists(out)
+
+
+def test_cli_supported_files(capsys):
+    from codetoneo4j_ray import cli
+
+    assert cli.main(["--show-supported-files"]) == 0
+    out = capsys.readouterr().out
+    assert "csharp" in out and "pubspec.yaml" in out

@@ -224,6 +224,44 @@ def test_minhash_pairs_match_exact_jaccard_reference():
     assert got == expect
 
 
+def test_ngram_jaccard_banded_equals_bruteforce(tmp_path):
+    """Size-band blocking must emit exactly the brute-force pair set —
+    qualifying pairs always land in the same or adjacent log2 band."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from codetoneo4j_ray.pipelines.data_ops import _shingles, doc_ngram_jaccard
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    texts = [
+        base,                         # 0
+        base + " extra",              # 1: near-dup of 0 (same band)
+        base + " " + base,            # 2: 2x length (adjacent band vs 0/1)
+        "totally different words here about completely other topics now",
+        "short text",
+    ]
+    sources = ["s1"] * 5
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(5), pa.int64()),
+                  "text": pa.array(texts, pa.string()),
+                  "source": pa.array(sources, pa.string())}),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = set(map(tuple, doc_ngram_jaccard(str(tmp_path), threshold=0.5)
+                  .to_pandas()[["doc_a", "doc_b"]].values))
+    expect = set()
+    sh = [_shingles(t) for t in texts]
+    for i in range(5):
+        for j in range(i + 1, 5):
+            union = len(sh[i] | sh[j])
+            jac = (len(sh[i] & sh[j]) / union) if union else 1.0
+            if jac >= 0.5:
+                expect.add((i, j))
+    assert (0, 1) in expect  # sanity: the planted near-dup qualifies
+    assert got == expect
+
+
 def test_text_stats_shapes():
     from codetoneo4j_ray.pipelines.data_ops import text_stats
 
