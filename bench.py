@@ -91,8 +91,12 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     timed("doc_dedup_exact", data_ops.doc_dedup_exact)
     timed("doc_dedup_minhash", data_ops.doc_dedup_minhash)
     timed("doc_simhash", data_ops.doc_simhash)
+    timed("doc_ngram_jaccard", data_ops.doc_ngram_jaccard)
     timed("ann_topk", data_ops.ann_topk)
+    timed("ann_ivf", data_ops.ann_ivf)
+    timed("embedding_near_dup", data_ops.embedding_near_dup)
     timed("text_stats", data_ops.text_stats)
+    timed("lang_id", data_ops.lang_id)
     timed("doc_fingerprint", data_ops.doc_fingerprint)
     timed("events_tumbling", data_ops.events_tumbling)
     timed("events_sessionize", data_ops.events_sessionize)
@@ -102,6 +106,17 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     timed("revenue_by_nation", data_ops.revenue_by_nation)
     timed("pricing_summary", data_ops.pricing_summary)
     timed("media_decode_meta", multimodal.media_decode_meta)
+
+    # commit subgraph over the synthetic commits side table
+    from codetoneo4j_ray.pipelines.kg_queries import (
+        q_kg_authored,
+        q_kg_commit_edges,
+        q_kg_commits,
+    )
+
+    timed("kg_commits", q_kg_commits)
+    timed("kg_commit_edges", q_kg_commit_edges)
+    timed("kg_authored", q_kg_authored)
 
     total = round(sum(timings.values()), 3)
     return {

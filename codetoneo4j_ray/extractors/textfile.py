@@ -227,8 +227,9 @@ def extract_csproj(ctx: FileContext, min_accessibility: str) -> None:
             # the package-metadata side table replaces the local NuGet
             # cache; lookup only with a version, urls in nuspec order
             # (projectUrl then repositoryUrl), empties skipped
-            if ctx.pkg_meta is not None and version:
-                meta = ctx.pkg_meta.get((include.lower(), version))
+            nuget_meta = (ctx.pkg_meta or {}).get("nuget")
+            if nuget_meta is not None and version:
+                meta = nuget_meta.get((include.lower(), version))
                 if meta is not None:
                     dep_key = f"pkg:{include}"
                     for url in meta:
@@ -288,9 +289,25 @@ def extract_package_json(ctx: FileContext, min_accessibility: str) -> None:
             ctx.add_package_dependency(
                 name, version if isinstance(version, str) else None
             )
-            # npm URL metadata lookup (PackageJsonHandler.cs:129-199) reads
-            # node_modules / .pnpm on disk — not present for a Parquet
-            # corpus; the URL normalizer itself is ported in functions.urls.
+            # npm URL analog (PackageJsonHandler.CollectNpmUrls:125-166):
+            # the side table replaces node_modules/.pnpm on disk. Lookup
+            # is by NAME (node_modules holds the resolved version);
+            # homepage emitted verbatim, repository normalized.
+            npm_meta = (ctx.pkg_meta or {}).get("npm")
+            if npm_meta is not None:
+                meta = npm_meta.get(name)
+                if meta is not None:
+                    from codetoneo4j_ray.functions.urls import (
+                        normalize_repository_url,
+                    )
+
+                    homepage, repo_raw = meta
+                    dep_key = f"pkg:{name}"
+                    if homepage and homepage.strip():
+                        ctx.add_url(dep_key, homepage.strip())
+                    repo_url = normalize_repository_url(repo_raw)
+                    if repo_url:
+                        ctx.add_url(dep_key, repo_url)
 
 
 # ---------------------------------------------------------------------------

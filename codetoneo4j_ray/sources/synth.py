@@ -125,6 +125,7 @@ def ensure_commits(sf_dir: str) -> str:
 
 _PACKAGES_SCHEMA = pa.schema(
     [
+        ("ecosystem", pa.string()),   # nuget | npm
         ("name", pa.string()),
         ("version", pa.string()),
         ("project_url", pa.string()),
@@ -132,23 +133,39 @@ _PACKAGES_SCHEMA = pa.schema(
     ]
 )
 
+_PACKAGES_VERSION = 2  # bump to regenerate cached packages.parquet
+
 
 def ensure_packages(sf_dir: str) -> str:
-    """Deterministic package-metadata side table (nuspec-cache analog,
-    CsprojHandler.cs:157-200) for the packages the synthetic csproj
-    files reference."""
+    """Deterministic package-metadata side table — the nuspec-cache
+    (CsprojHandler.cs:157-200) and node_modules (PackageJsonHandler
+    .cs:169-199) analog — for the packages the synthetic corpus
+    references."""
     out_dir = corpus_dir_for_sf(sf_dir)
     path = os.path.join(out_dir, "packages.parquet")
-    if not os.path.exists(path):
+    stamp_path = os.path.join(out_dir, "packages.meta")
+    stamp = f"pv{_PACKAGES_VERSION}"
+    current = None
+    if os.path.exists(stamp_path):
+        with open(stamp_path) as f:
+            current = f.read().strip()
+    if not os.path.exists(path) or current != stamp:
         os.makedirs(out_dir, exist_ok=True)
         rows = [
-            ("Newtonsoft.Json", "13.0.1",
+            ("nuget", "Newtonsoft.Json", "13.0.1",
              "https://www.newtonsoft.com/json",
              "https://github.com/JamesNK/Newtonsoft.Json"),
+            # npm: looked up by name; repository_url normalized at use
+            ("npm", "react", None,
+             "https://react.dev/",
+             "git+https://github.com/facebook/react.git"),
+            ("npm", "left-pad", None,
+             None,
+             "git://github.com/stevemao/left-pad.git"),
         ]
         for minor in range(4):
             rows.append(
-                (f"Serilog", f"3.{minor}.0",
+                ("nuget", "Serilog", f"3.{minor}.0",
                  "https://serilog.net/",
                  "https://github.com/serilog/serilog")
             )
@@ -163,6 +180,8 @@ def ensure_packages(sf_dir: str) -> str:
             tmp,
         )
         os.replace(tmp, path)
+        with open(stamp_path, "w") as f:
+            f.write(stamp)
     return path
 
 

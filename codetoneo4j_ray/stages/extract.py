@@ -397,17 +397,28 @@ def extract_records_partitioned(
 
 
 def load_pkg_meta(packages_path: str) -> dict:
-    """Read a (name, version, project_url, repository_url) parquet side
-    table into the lookup dict the csproj handler consults."""
+    """Read the package-metadata side table into the per-ecosystem lookup
+    handlers consult: ``nuget`` keyed (name_lower, version) — the nuspec
+    cache resolves exact versions (CsprojHandler.cs:157-200) — and
+    ``npm`` keyed by name — node_modules holds the already-resolved
+    version (PackageJsonHandler.cs:169-199)."""
     import pyarrow.parquet as pq
 
     t = pq.read_table(packages_path)
-    out: dict = {}
-    for name, version, purl, rurl in zip(
-        t["name"].to_pylist(), t["version"].to_pylist(),
+    cols = t.column_names
+    ecosystems = (
+        t["ecosystem"].to_pylist() if "ecosystem" in cols
+        else ["nuget"] * t.num_rows
+    )
+    out: dict = {"nuget": {}, "npm": {}}
+    for eco, name, version, purl, rurl in zip(
+        ecosystems, t["name"].to_pylist(), t["version"].to_pylist(),
         t["project_url"].to_pylist(), t["repository_url"].to_pylist(),
     ):
-        out[(name.lower(), version)] = (purl, rurl)
+        if eco == "npm":
+            out["npm"][name] = (purl, rurl)
+        else:
+            out["nuget"][(name.lower(), version)] = (purl, rurl)
     return out
 
 

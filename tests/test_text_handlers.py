@@ -295,9 +295,9 @@ def test_csproj_pkg_meta_urls():
   </ItemGroup>
 </Project>
 """
-    meta = {("newtonsoft.json", "13.0.1"):
+    meta = {"nuget": {("newtonsoft.json", "13.0.1"):
             ("https://www.newtonsoft.com/json",
-             "https://github.com/JamesNK/Newtonsoft.Json")}
+             "https://github.com/JamesNK/Newtonsoft.Json")}}
     ctx = extract_file("r", "src/App/App.csproj", content, "Private",
                        pkg_meta=meta)
     urls = [(u["dep_key"], u["url_key"]) for u in ctx.urls]
@@ -309,3 +309,20 @@ def test_csproj_pkg_meta_urls():
     # without the side table: no urls (round-1 behavior preserved)
     ctx2 = extract_file("r", "src/App/App.csproj", content, "Private")
     assert ctx2.urls == []
+
+
+def test_package_json_npm_meta_urls():
+    """npm side table → homepage verbatim + normalized repository URL
+    (PackageJsonHandler.CollectNpmUrls:125-166, lookup by name)."""
+    from codetoneo4j_ray.extractors import extract_file
+
+    content = '{"dependencies": {"react": "^18.2.0", "unknown-pkg": "1.0.0"}}'
+    meta = {"npm": {"react": ("https://react.dev/",
+                              "git+https://github.com/facebook/react.git")}}
+    ctx = extract_file("r", "client/package.json", content, "Private",
+                       pkg_meta=meta)
+    urls = [(u["dep_key"], u["url_key"]) for u in ctx.urls]
+    assert ("pkg:react", "url:https://react.dev/") in urls
+    # git+ prefix stripped, .git suffix stripped by the normalizer
+    assert ("pkg:react", "url:https://github.com/facebook/react") in urls
+    assert len(urls) == 2
