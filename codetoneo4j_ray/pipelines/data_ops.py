@@ -176,6 +176,9 @@ def doc_dedup_minhash(sf_dir: str, jaccard_threshold: float = 0.8) -> ray.data.D
             }
         )
 
+    # consumed by both join passes; recomputing the lineage per pass is
+    # cheaper than a materialize barrier (shingling is ~2% of op wall —
+    # the op's cost is the fixed latency of its four exchanges)
     shingles_ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         doc_shingles, batch_format="pyarrow"
     )
