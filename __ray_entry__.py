@@ -70,8 +70,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": data_ops.doc_quality,
         "top_tokens": data_ops.top_tokens,
         "doc_fingerprint": data_ops.doc_fingerprint,
+        "doc_winnow": data_ops.doc_winnow,
         # streaming-shaped + relational
         "events_tumbling": data_ops.events_tumbling,
+        "events_hopping": data_ops.events_hopping,
         "events_sessionize": data_ops.events_sessionize,
         "revenue_by_nation": data_ops.revenue_by_nation,
         "pricing_summary": data_ops.pricing_summary,
@@ -172,6 +174,21 @@ def oracle_sql() -> dict[str, str]:
                        count(*) AS n_events,
                        CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS sum_milli
                 FROM events GROUP BY 1, 2 ORDER BY user_id, window_hour
+            """,
+            "events_hopping": """
+                SELECT user_id, window_start,
+                       count(*) AS n_events,
+                       CAST(sum(value_milli) AS BIGINT) AS sum_milli
+                FROM (
+                    SELECT e.user_id,
+                           (CAST(floor(epoch(e.ts)) AS BIGINT) // 900) * 900
+                               - h.i * 900 AS window_start,
+                           CAST(floor(e.value * 1000) AS BIGINT) AS value_milli
+                    FROM events e
+                    CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) h
+                )
+                GROUP BY user_id, window_start
+                ORDER BY user_id, window_start
             """,
             "events_sessionize": """
                 WITH e AS (

@@ -820,6 +820,64 @@ def doc_quality(sf_dir: str) -> ray.data.Dataset:
     ).sort("doc_id")
 
 
+def doc_winnow(
+    sf_dir: str, k: int = 8, window: int = 4
+) -> ray.data.Dataset:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken):
+    character k-gram rolling hashes, minimum per sliding window
+    (rightmost on ties), deduplicated selections digested per doc.
+    Per-row vectorized numpy; no shuffle at all until the output sort.
+    Returns (doc_id, n_grams, n_selected, digest)."""
+    B = np.uint64(1_000_003)
+    powers = B ** np.arange(k - 1, -1, -1, dtype=np.uint64)
+
+    def winnow(batch: pa.Table) -> pa.Table:
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        n_grams_l, n_sel_l, digest_l = [], [], []
+        for text in texts:
+            data = np.frombuffer(
+                text.lower().encode("utf-8", "replace"), dtype=np.uint8
+            ).astype(np.uint64)
+            if len(data) < k:
+                n_grams_l.append(0)
+                n_sel_l.append(0)
+                digest_l.append(hashlib.md5(b"").hexdigest())
+                continue
+            with np.errstate(over="ignore"):
+                grams = sliding_window_view(data, k) @ powers  # (n-k+1,)
+            if len(grams) < window:
+                sel = [int(grams.min())]
+            else:
+                wins = sliding_window_view(grams, window)
+                # rightmost minimum per window: argmin over the reversed
+                # window picks the LAST position on ties
+                rev_arg = np.argmin(wins[:, ::-1], axis=1)
+                pos = np.arange(len(wins)) + (window - 1 - rev_arg)
+                # winnowing keeps each (position, hash) selection once
+                uniq = np.unique(pos)
+                sel = grams[uniq].tolist()
+            n_grams_l.append(len(grams))
+            n_sel_l.append(len(sel))
+            digest_l.append(
+                hashlib.md5(np.array(sel, dtype=np.uint64).tobytes()).hexdigest()
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_grams": pa.array(n_grams_l, pa.int64()),
+                "n_selected": pa.array(n_sel_l, pa.int64()),
+                "digest": pa.array(digest_l, pa.string()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        winnow, batch_format="pyarrow"
+    ).sort("doc_id")
+
+
 def doc_fingerprint(sf_dir: str) -> ray.data.Dataset:
     """Normalized-text digest fingerprint: md5(lower(ws-collapsed text))."""
     import re
@@ -880,6 +938,50 @@ def events_tumbling(sf_dir: str) -> ray.data.Dataset:
             merge,
         )
         .sort(["user_id", "window_hour"])
+    )
+
+
+def events_hopping(
+    sf_dir: str, window_sec: int = 3600, hop_sec: int = 900
+) -> ray.data.Dataset:
+    """Hopping (sliding) window per user: 1h windows advancing every
+    15min — each event lands in window_sec/hop_sec = 4 windows. The
+    map-side explode assigns each event its window starts (pure
+    arithmetic, no state), partials collapse per block, then one small
+    bucketed merge: the streaming-window shape expressed batch-first."""
+    k = window_sec // hop_sec
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["sec"] = df["ts"].astype("datetime64[s]").astype("int64")
+        df["value_milli"] = np.floor(df["value"] * 1000).astype("int64")
+        frames = []
+        base = (df["sec"] // hop_sec) * hop_sec
+        for i in range(k):
+            w = df[["user_id", "value_milli"]].copy()
+            w["window_start"] = base - i * hop_sec
+            frames.append(w)
+        exploded = pd.concat(frames, ignore_index=True)
+        g = exploded.groupby(["user_id", "window_start"], as_index=False).agg(
+            n_events=("value_milli", "size"), sum_milli=("value_milli", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["user_id", "window_start"], as_index=False).agg(
+            n_events=("n_events", "sum"), sum_milli=("sum_milli", "sum")
+        )
+
+    return (
+        bucketed_apply(
+            ray.data.read_parquet(
+                f"{sf_dir}/events.parquet",
+                columns=["ts", "user_id", "value"],
+            ).map_batches(partial, batch_format="pyarrow"),
+            ["user_id", "window_start"],
+            merge,
+        )
+        .sort(["user_id", "window_start"])
     )
 
 

@@ -374,3 +374,47 @@ def test_embedding_kmeans_deterministic_partition():
     assert a.equals(b)
     assert a["cluster_id"].nunique() >= 2
     assert len(a) == 500
+
+
+def test_events_hopping_window_membership(tmp_path):
+    """Each event lands in exactly window/hop = 4 hopping windows whose
+    [start, start+3600) range contains it."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from codetoneo4j_ray.pipelines.data_ops import events_hopping
+
+    base = np.datetime64("2024-01-01T02:07:00", "us")  # sec = offset 7620
+    pq.write_table(
+        pa.table({
+            "event_id": pa.array([1], pa.int64()),
+            "user_id": pa.array([5], pa.int64()),
+            "ts": pa.array([base], pa.timestamp("us")),
+            "value": pa.array([2.5], pa.float64()),
+        }),
+        str(tmp_path / "events.parquet"),
+    )
+    df = events_hopping(str(tmp_path)).to_pandas()
+    sec = int(base.astype("datetime64[s]").astype("int64"))
+    expect_starts = [(sec // 900) * 900 - i * 900 for i in range(4)]
+    assert sorted(df["window_start"]) == sorted(expect_starts)
+    assert (df["n_events"] == 1).all() and (df["sum_milli"] == 2500).all()
+    for w in df["window_start"]:
+        assert w <= sec < w + 3600
+
+
+def test_doc_winnow_properties():
+    """Winnowing guarantees: deterministic, ≥1 selection per window span,
+    selection count ≤ gram count, identical docs → identical digests."""
+    from codetoneo4j_ray.pipelines.data_ops import doc_winnow
+
+    a = doc_winnow(SF).to_pandas()
+    b = doc_winnow(SF).to_pandas()
+    assert a.equals(b)
+    assert len(a) == 500
+    nonempty = a[a["n_grams"] > 0]
+    assert (nonempty["n_selected"] >= 1).all()
+    assert (nonempty["n_selected"] <= nonempty["n_grams"]).all()
+    # density: winnowing selects ~2/(w+1) of positions; sanity bound
+    frac = nonempty["n_selected"] / nonempty["n_grams"]
+    assert frac.mean() < 0.75
