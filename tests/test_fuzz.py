@@ -19,6 +19,10 @@ _CS_FRAGMENTS = [
     "operator +", "??", "?.", ";", "#if DEBUG", "'c'", "0x1F", "1.5e3",
     "static implicit operator int(C c)", "this[int i]", "where T : class",
     "global using X;", "partial", "record R(int A)", "enum E { A, B }",
+    # razor/xaml generated-pass stressors
+    "@code {", "@functions {", "@namespace A.B", "@inherits Base",
+    "@using C.D", "<root x:Name=\"n\"/>", "x:Class=\"A.B\"",
+    "<Page xmlns:x=\"http://schemas.microsoft.com/winfx/2009/xaml\"",
 ]
 
 
