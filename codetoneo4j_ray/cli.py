@@ -128,6 +128,7 @@ def main(argv: list[str] | None = None) -> int:
             metrics = build_graph_incremental(
                 args.input, args.prior, args.output,
                 min_accessibility=args.min_accessibility, mode=args.mode,
+                packages_path=args.packages,
             )
             print(json.dumps(metrics))
     finally:

@@ -126,8 +126,18 @@ def build_graph_incremental(
     min_accessibility: str = DEFAULT_MIN_ACCESSIBILITY,
     concurrency=None,
     mode: str = "broadcast",
+    packages_path: str | None = None,
 ) -> dict:
-    """Rebuild against a prior run: extract only changed files."""
+    """Rebuild against a prior run: extract only changed files.
+
+    ``packages_path`` must match the full run's — the incremental==full
+    contract includes the URL side-table lookups of re-extracted files.
+    """
+    pkg_meta = None
+    if packages_path is not None:
+        from codetoneo4j_ray.stages.extract import load_pkg_meta
+
+        pkg_meta = load_pkg_meta(packages_path)
     corpus = read_corpus(input_path)
     changed, deleted = _diff_vs_prior(corpus, f"{prior_out_dir}/files")
 
@@ -155,7 +165,7 @@ def build_graph_incremental(
     # with the delta; the skim is the cheap declaration pass.
     indices = build_type_index(corpus)
     new_records = extract_records(delta, indices, min_accessibility,
-                                  concurrency=concurrency)
+                                  concurrency=concurrency, pkg_meta=pkg_meta)
 
     def drop_stale(batch: pa.Table) -> pa.Table:
         from codetoneo4j_ray.stages.link import _cached_get

@@ -183,3 +183,44 @@ def test_lww_null_tiebreak_matches_oracle(ray_session):
     out = dedup_nodes(rd.from_pandas(rows)).to_pandas()
     assert len(out) == 1
     assert out.iloc[0]["namespace"] == "N"  # non-NULL row wins
+
+
+def test_sort_fused_dedup_hot_key_stress(ray_session):
+    """Regression guard for the lww_sorted/distinct_sorted invariant:
+    Ray's range-partitioned sort must keep every equal-key run inside
+    one reduce block (sort_task_spec.py reduce emits one block per
+    partition). A 50k-copy hot key + 100k distinct keys across 64 input
+    blocks must collapse to exactly one winner, the greatest tiebreak."""
+    import pandas as pd
+    import ray.data as rd
+
+    from codetoneo4j_ray.stages.canonicalize import distinct_sorted, lww_sorted
+
+    n_hot, n_uniq = 50_000, 100_000
+    df = pd.DataFrame(
+        {
+            "key": ["hot"] * n_hot + [f"k{i:06d}" for i in range(n_uniq)],
+            "path": [f"p{i % 977}" for i in range(n_hot)] + ["p"] * n_uniq,
+        }
+    )
+    ds = rd.from_pandas(df).repartition(64)
+    out = lww_sorted(ds, "key", ["path"]).to_pandas()
+    assert len(out) == n_uniq + 1
+    assert out["key"].is_unique
+    # winner = lexicographic max of the tiebreak strings
+    assert out.loc[out["key"] == "hot", "path"].iloc[0] == max(
+        f"p{i % 977}" for i in range(n_hot)
+    )
+    assert list(out["key"]) == sorted(out["key"])  # globally sorted
+
+    trip = pd.DataFrame(
+        {
+            "subj": ["s"] * n_hot + [f"s{i}" for i in range(n_uniq)],
+            "pred": ["P"] * (n_hot + n_uniq),
+            "obj": ["o"] * (n_hot + n_uniq),
+        }
+    )
+    tds = rd.from_pandas(trip).repartition(64)
+    tout = distinct_sorted(tds).to_pandas()
+    assert len(tout) == n_uniq + 1
+    assert not tout.duplicated().any()
