@@ -27,7 +27,7 @@ from codetoneo4j_ray.functions.tags import parse_namespace_tags
 from codetoneo4j_ray.pipelines.build_graph import extract_to_records, read_corpus, read_records
 from codetoneo4j_ray.sources.synth import corpus_dir_for_sf, ensure_corpus
 from codetoneo4j_ray.stages.bucketing import coalesce
-from codetoneo4j_ray.stages.canonicalize import dedup_files, dedup_nodes, distinct_triples
+from codetoneo4j_ray.stages.canonicalize import dedup_nodes
 from codetoneo4j_ray.stages.link import (
     build_member_indices,
     resolve_edges_broadcast,

@@ -20,7 +20,6 @@ import time
 import zlib
 
 import pyarrow as pa
-import pyarrow.compute as pc
 import ray.data
 
 from codetoneo4j_ray.extractors.accessibility import DEFAULT_MIN_ACCESSIBILITY

@@ -26,7 +26,7 @@ import ray.data
 from codetoneo4j_ray.config import is_excluded, resolve_handler
 from codetoneo4j_ray.extractors import extract_file
 from codetoneo4j_ray.extractors.accessibility import DEFAULT_MIN_ACCESSIBILITY
-from codetoneo4j_ray.extractors.csharp.extractor import build_repo_index, skim_file
+from codetoneo4j_ray.extractors.csharp.extractor import skim_file
 from codetoneo4j_ray.extractors.csharp.types import RepoTypeIndex
 from codetoneo4j_ray.functions.text import sha256_hex
 
