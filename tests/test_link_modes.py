@@ -95,3 +95,50 @@ def test_stage1_partitioned_matches_actor_pool(tmp_path):
     a_s = a.sort_values(key_cols, kind="stable").reset_index(drop=True)
     b_s = b.sort_values(key_cols, kind="stable").reset_index(drop=True)
     pd.testing.assert_frame_equal(a_s, b_s, check_dtype=True)
+
+
+def test_modes_agree_on_cross_repo_shaped_corpus(tmp_path):
+    """The fused repo-local endpoint check is exact because every
+    handler's mention endpoints are self-declared, repo-prefixed, or
+    pkg:/url: (also self-declared) — a mention can never be satisfied
+    ONLY by another repo. This corpus shapes the tempting counterexample
+    (repo A imports a file only repo B has) and asserts the modes still
+    agree byte-for-byte."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from codetoneo4j_ray.pipelines.build_graph import (
+        extract_to_records,
+        graph_from_records,
+        read_corpus,
+    )
+    from codetoneo4j_ray.schema import CORPUS_SCHEMA
+
+    rows = [
+        ("repoA", "client/src/app.ts", "c" * 40, "typescript",
+         'import { fmt } from "./util";\nexport function go() { fmt(1); }\n'),
+        # repoB declares client/src/util.ts — repoA does NOT
+        ("repoB", "client/src/util.ts", "c" * 40, "typescript",
+         "export function fmt(n: number): string { return String(n); }\n"),
+        # same path, DIFFERENT content across repos
+        ("repoA", "web/site.css", "c" * 40, "css", ".a { color: red; }\n"),
+        ("repoB", "web/site.css", "c" * 40, "css", ".b { color: blue; }\n"),
+    ]
+    cols = list(zip(*rows))
+    t = pa.table(
+        {f.name: pa.array(list(cols[i]), pa.string())
+         for i, f in enumerate(CORPUS_SCHEMA)},
+        schema=CORPUS_SCHEMA,
+    )
+    p = str(tmp_path / "c.parquet")
+    pq.write_table(t, p)
+    records_dir = str(tmp_path / "records")
+    extract_to_records(read_corpus(p)).write_parquet(
+        records_dir, partition_cols=["rec_type"]
+    )
+    a = graph_from_records(records_dir=records_dir, mode="broadcast")
+    b = graph_from_records(records_dir=records_dir, mode="partitioned")
+    for name in ("nodes", "edges", "files"):
+        da = a[name].to_pandas().reset_index(drop=True)
+        db = b[name].to_pandas().reset_index(drop=True)
+        assert da.equals(db), f"{name} differs"
