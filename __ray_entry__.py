@@ -175,6 +175,35 @@ def oracle_sql() -> dict[str, str]:
                        CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS sum_milli
                 FROM events GROUP BY 1, 2 ORDER BY user_id, window_hour
             """,
+            "lang_id": r"""
+                WITH w AS (
+                    SELECT doc_id,
+                           list_distinct(regexp_split_to_array(
+                               lower(text), '[ \t\n\r]+')) AS words
+                    FROM documents
+                ),
+                langs(lang, stops) AS (VALUES
+                    ('de', ['der','die','das','und','ist','nicht','ein','zu','mit','von']),
+                    ('en', ['the','and','of','to','a','in','is','that','it','for']),
+                    ('es', ['el','la','los','y','es','un','una','de','no','por']),
+                    ('fr', ['le','la','les','et','est','un','une','de','pas','pour'])
+                ),
+                scored AS (
+                    SELECT w.doc_id, l.lang,
+                           len(list_intersect(w.words, l.stops)) AS hits
+                    FROM w CROSS JOIN langs l
+                ),
+                ranked AS (
+                    SELECT doc_id, lang, hits,
+                           row_number() OVER (
+                               PARTITION BY doc_id ORDER BY hits DESC, lang
+                           ) AS rn
+                    FROM scored
+                )
+                SELECT doc_id,
+                       CASE WHEN hits > 0 THEN lang ELSE 'unknown' END AS lang_pred
+                FROM ranked WHERE rn = 1 ORDER BY doc_id
+            """,
             "events_hopping": """
                 SELECT user_id, window_start,
                        count(*) AS n_events,
@@ -248,6 +277,6 @@ def oracle_sql() -> dict[str, str]:
         }
     )
     # doc_dedup_minhash / doc_simhash / doc_ngram_jaccard /
-    # embedding_near_dup / ann_ivf / lang_id / kg_mentions_raw are
+    # embedding_near_dup / ann_ivf / doc_winnow / kg_mentions_raw are
     # approximate or non-SQL-expressible → rows-only checks.
     return sql
