@@ -175,6 +175,37 @@ def oracle_sql() -> dict[str, str]:
                        CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS sum_milli
                 FROM events GROUP BY 1, 2 ORDER BY user_id, window_hour
             """,
+            "doc_simhash": r"""
+                WITH w AS (
+                    SELECT doc_id, unnest(list_distinct(regexp_split_to_array(
+                        lower(text), '[ \t\n\r]+'))) AS word
+                    FROM documents
+                ),
+                h AS (
+                    SELECT doc_id,
+                           ('0x' || substring(md5(word), 1, 16))::UBIGINT AS hv
+                    FROM w WHERE word <> ''
+                ),
+                bits AS (
+                    SELECT doc_id, i.i AS bit,
+                           CASE WHEN (hv >> i.i) & 1 = 1 THEN 1 ELSE -1 END AS v
+                    FROM h CROSS JOIN (SELECT unnest(range(64)) AS i) i
+                ),
+                acc AS (
+                    SELECT doc_id, bit, sum(v) AS s FROM bits GROUP BY doc_id, bit
+                ),
+                val AS (
+                    SELECT doc_id,
+                           sum(CASE WHEN s > 0 THEN (1::UBIGINT << bit)
+                               ELSE 0::UBIGINT END) AS v
+                    FROM acc GROUP BY doc_id
+                )
+                SELECT d.doc_id,
+                       lpad(lower(to_hex(COALESCE(val.v, 0)::UBIGINT)), 16, '0')
+                           AS simhash
+                FROM documents d LEFT JOIN val ON d.doc_id = val.doc_id
+                ORDER BY d.doc_id
+            """,
             "lang_id": r"""
                 WITH w AS (
                     SELECT doc_id,
@@ -276,7 +307,7 @@ def oracle_sql() -> dict[str, str]:
             """,
         }
     )
-    # doc_dedup_minhash / doc_simhash / doc_ngram_jaccard /
+    # doc_dedup_minhash / doc_ngram_jaccard /
     # embedding_near_dup / ann_ivf / doc_winnow / kg_mentions_raw are
     # approximate or non-SQL-expressible → rows-only checks.
     return sql

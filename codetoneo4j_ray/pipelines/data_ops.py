@@ -276,21 +276,28 @@ def doc_dedup_minhash(sf_dir: str, jaccard_threshold: float = 0.8) -> ray.data.D
 
 
 def doc_simhash(sf_dir: str) -> ray.data.Dataset:
-    """64-bit SimHash per document: (doc_id, simhash hex)."""
+    """64-bit SimHash per document: (doc_id, simhash hex).
+
+    The word hash is the first 8 bytes of md5 (big-endian) so the sketch
+    is bit-exactly replicable in the DuckDB oracle (md5 + bit math in
+    SQL) — a STRICT check on an LSH sketch, not just a rows-only one."""
 
     def simhash(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_pylist()
         texts = batch["text"].to_pylist()
+        bit_idx = np.arange(64, dtype=np.uint64)
         out = []
         for text in texts:
             acc = np.zeros(64, dtype=np.int64)
             for w in set(text.lower().split()):
-                h = hash_bytes(w)
-                bits = (h >> np.arange(64)) & 1
-                acc += np.where(bits == 1, 1, -1)
+                h = np.uint64(
+                    int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
+                )
+                bits = (h >> bit_idx) & np.uint64(1)
+                acc += np.where(bits == np.uint64(1), 1, -1)
             val = 0
-            for bit_idx in np.nonzero(acc > 0)[0]:
-                val |= 1 << int(bit_idx)
+            for b in np.nonzero(acc > 0)[0]:
+                val |= 1 << int(b)
             out.append(f"{val:016x}")
         return pa.table(
             {
