@@ -81,6 +81,26 @@ def _shingles(text: str, k: int = 3) -> set[int]:
     return {hash_bytes(" ".join(words[i : i + k])) for i in range(len(words) - k + 1)}
 
 
+def _shingle_strs(text: str, k: int = 3) -> set[str]:
+    """Word k-gram strings. An empty doc yields the sentinel '' shingle so
+    the DuckDB oracle (which joins on shingle strings) sees the same set
+    algebra: empty-vs-empty J=1, empty-vs-anything-else J=0."""
+    words = text.lower().split()
+    if len(words) < k:
+        return {" ".join(words)}
+    return {" ".join(words[i : i + k]) for i in range(len(words) - k + 1)}
+
+
+def _md5_64(s: str) -> int:
+    """First 8 bytes of md5, big-endian — bit-identical to DuckDB's
+    ('0x' || substring(md5(s), 1, 16))::UBIGINT."""
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
+
+
+def _minhash_shingles(text: str) -> set[int]:
+    return {_md5_64(s) for s in _shingle_strs(text)}
+
+
 def hash_bytes(s: str) -> int:
     # masked to 61 bits so signatures fit int64 arithmetic
     return (
@@ -109,7 +129,13 @@ def _minhash_sig(sh: set[int]) -> np.ndarray:
 
 def doc_dedup_minhash(sf_dir: str, jaccard_threshold: float = 0.8) -> ray.data.Dataset:
     """Near-duplicate pairs (a < b) with band-LSH candidates verified by
-    exact shingle Jaccard. Returns (doc_a, doc_b)."""
+    exact shingle Jaccard. Returns (doc_a, doc_b).
+
+    The shingle hash (md5-derived), permutation mixing (mod-2^64
+    xor-multiply) and band buckets (decimal string concat) are all chosen
+    to be bit-exactly replicable in ANSI-ish SQL, so the whole sketch —
+    not just the verified pairs — is covered by a STRICT DuckDB oracle
+    (see ``minhash_oracle_sql``)."""
 
     rows_per_band = _MINHASH_PERMS // _LSH_BANDS
 
@@ -118,10 +144,10 @@ def doc_dedup_minhash(sf_dir: str, jaccard_threshold: float = 0.8) -> ray.data.D
         texts = batch["text"].to_pylist()
         out_band, out_bucket, out_id = [], [], []
         for doc_id, text in zip(ids, texts):
-            sig = _minhash_sig(_shingles(text))
+            sig = _minhash_sig(_minhash_shingles(text))
             for b in range(_LSH_BANDS):
                 chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
-                bucket = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
+                bucket = ",".join(str(int(v)) for v in chunk)
                 out_band.append(b)
                 out_bucket.append(bucket)
                 out_id.append(doc_id)
@@ -162,7 +188,7 @@ def doc_dedup_minhash(sf_dir: str, jaccard_threshold: float = 0.8) -> ray.data.D
         ids = batch["doc_id"].to_pylist()
         texts = batch["text"].to_pylist()
         blobs = [
-            np.fromiter(sorted(_shingles(t)), dtype=np.uint64).tobytes()
+            np.fromiter(sorted(_minhash_shingles(t)), dtype=np.uint64).tobytes()
             for t in texts
         ]
         n = len(ids)
@@ -268,6 +294,137 @@ def doc_dedup_minhash(sf_dir: str, jaccard_threshold: float = 0.8) -> ray.data.D
         verify_b,
     )
     return verified.sort(["doc_a", "doc_b"])
+
+
+_SHINGLE_SQL = r"""
+    docs AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[ \t\n\r]+'),
+                           w -> w <> '') AS ws
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id,
+                   ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+            FROM docs, UNNEST(range(1, len(ws) - 1)) AS t(i)
+            WHERE len(ws) >= 3
+            UNION ALL
+            SELECT doc_id, array_to_string(ws, ' ') AS shingle
+            FROM docs WHERE len(ws) < 3
+        )
+    )
+"""
+
+
+def minhash_oracle_sql(jaccard_threshold: float = 0.8) -> str:
+    """STRICT DuckDB replica of doc_dedup_minhash: same md5-64 shingle
+    hash, same 64 xor-multiply permutations mod 2^64 (UBIGINT xor/shift,
+    HUGEINT products), same 16×4 banding, same exact-Jaccard verify.
+    The permutation constants are formatted in from _A_U64 so Python and
+    SQL can never drift."""
+    mix = int(_MIX)
+    m64 = 1 << 64
+    perms = ",\n        ".join(
+        f"({i}, {int(a)}::UBIGINT)" for i, a in enumerate(_A_U64)
+    )
+    return f"""
+        WITH {_SHINGLE_SQL},
+        hv AS (
+            SELECT doc_id,
+                   ('0x' || substring(md5(shingle), 1, 16))::UBIGINT AS h
+            FROM sh
+        ),
+        perms(p, a) AS (VALUES
+        {perms}
+        ),
+        mixed AS (
+            SELECT doc_id, p,
+                   ((xor(x1, x1 >> 29)::UHUGEINT * {mix}) % {m64}::UHUGEINT)::UBIGINT AS v
+            FROM (
+                SELECT doc_id, p,
+                       ((xor(h, a)::UHUGEINT * {mix}) % {m64}::UHUGEINT)::UBIGINT AS x1
+                FROM hv CROSS JOIN perms
+            )
+        ),
+        sig AS (SELECT doc_id, p, min(v) AS v FROM mixed GROUP BY doc_id, p),
+        bands AS (
+            SELECT doc_id, p // 4 AS band,
+                   string_agg(CAST(v AS VARCHAR), ',' ORDER BY p) AS bucket
+            FROM sig GROUP BY doc_id, p // 4
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.bucket = b.bucket
+             AND a.doc_id < b.doc_id
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT c.doc_a, c.doc_b, count(*) AS i
+            FROM cand c
+            JOIN sh sa ON sa.doc_id = c.doc_a
+            JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+            GROUP BY c.doc_a, c.doc_b
+        )
+        SELECT c.doc_a AS doc_a, c.doc_b AS doc_b
+        FROM cand c
+        JOIN sizes na ON na.doc_id = c.doc_a
+        JOIN sizes nb ON nb.doc_id = c.doc_b
+        LEFT JOIN inter ON inter.doc_a = c.doc_a AND inter.doc_b = c.doc_b
+        WHERE COALESCE(inter.i, 0)::DOUBLE
+              / (na.n + nb.n - COALESCE(inter.i, 0)) >= {jaccard_threshold}
+        ORDER BY c.doc_a, c.doc_b
+    """
+
+
+def ngram_jaccard_oracle_sql(threshold: float = 0.5) -> str:
+    """STRICT DuckDB replica of doc_ngram_jaccard. The Ray op's log2
+    size-banding is a pure prune (J >= t forces |A|/|B| in [t, 1/t], so
+    band distance >= 2 implies J < t); the oracle just scores all
+    same-source pairs. Empty docs carry the '' sentinel shingle on both
+    sides (J=1 empty-vs-empty, J=0 otherwise)."""
+    return f"""
+        WITH docs0 AS (
+            SELECT doc_id, source,
+                   list_filter(regexp_split_to_array(lower(text), '[ \t\n\r]+'),
+                               w -> w <> '') AS ws
+            FROM documents
+        ),
+        docs AS (SELECT doc_id, ws FROM docs0),
+        sh AS (
+            SELECT DISTINCT doc_id, shingle FROM (
+                SELECT doc_id,
+                       ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+                FROM docs, UNNEST(range(1, len(ws) - 1)) AS t(i)
+                WHERE len(ws) >= 3
+                UNION ALL
+                SELECT doc_id, array_to_string(ws, ' ') AS shingle
+                FROM docs WHERE len(ws) < 3
+            )
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        cand AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM docs0 a JOIN docs0 b
+              ON a.source = b.source AND a.doc_id < b.doc_id
+        ),
+        inter AS (
+            SELECT c.doc_a, c.doc_b, count(*) AS i
+            FROM cand c
+            JOIN sh sa ON sa.doc_id = c.doc_a
+            JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+            GROUP BY c.doc_a, c.doc_b
+        )
+        SELECT c.doc_a AS doc_a, c.doc_b AS doc_b
+        FROM cand c
+        JOIN sizes na ON na.doc_id = c.doc_a
+        JOIN sizes nb ON nb.doc_id = c.doc_b
+        LEFT JOIN inter ON inter.doc_a = c.doc_a AND inter.doc_b = c.doc_b
+        WHERE COALESCE(inter.i, 0)::DOUBLE
+              / (na.n + nb.n - COALESCE(inter.i, 0)) >= {threshold}
+        ORDER BY c.doc_a, c.doc_b
+    """
 
 
 # ---------------------------------------------------------------------------
