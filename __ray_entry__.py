@@ -310,10 +310,12 @@ def oracle_sql() -> dict[str, str]:
     from codetoneo4j_ray.pipelines.data_ops import (
         minhash_oracle_sql,
         ngram_jaccard_oracle_sql,
+        winnow_oracle_sql,
     )
 
     sql["doc_dedup_minhash"] = minhash_oracle_sql()
     sql["doc_ngram_jaccard"] = ngram_jaccard_oracle_sql()
+    sql["doc_winnow"] = winnow_oracle_sql()
     # embedding_near_dup / ann_ivf / embedding_kmeans / kg_mentions_raw
     # are approximate, iterative, or raw-stream analogs → rows-only.
     return sql

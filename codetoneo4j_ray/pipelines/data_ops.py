@@ -427,6 +427,96 @@ def ngram_jaccard_oracle_sql(threshold: float = 0.5) -> str:
     """
 
 
+def winnow_oracle_sql(k: int = 8, window: int = 4) -> str:
+    """STRICT DuckDB replica of doc_winnow. Bytes come from
+    hex(encode(lower(text))) (corpus is ASCII, so Python str.lower() and
+    SQL lower() agree); the polynomial rolling hash is a UHUGEINT modular
+    sum with the same B^j mod 2^64 coefficients; the rightmost-min-per-
+    window rule is encoded as min over (g * 2^32 + (2^32-1-pos)) so one
+    window-frame MIN yields both the min value and its rightmost
+    position."""
+    B = 1_000_003
+    m64 = 1 << 64
+    # coefficients split into 32-bit halves: sum(byte * c) would force a
+    # UHUGEINT aggregate, which DuckDB lossily promotes to DOUBLE; with
+    # halves, each partial sum fits exact BIGINT->HUGEINT aggregation and
+    # the mod-2^64 recombine is scalar (exact) UHUGEINT arithmetic
+    pw = ", ".join(
+        "({}, {}::BIGINT, {}::BIGINT)".format(
+            j,
+            pow(B, k - 1 - j, m64) & 0xFFFFFFFF,
+            pow(B, k - 1 - j, m64) >> 32,
+        )
+        for j in range(k)
+    )
+    return f"""
+        WITH raw AS (
+            SELECT doc_id, hex(encode(lower(text))) AS hx,
+                   octet_length(encode(lower(text))) AS n
+            FROM documents
+        ),
+        bytes AS (
+            SELECT doc_id, i, ('0x' || substr(hx, 2*i - 1, 2))::UBIGINT AS b
+            FROM raw, UNNEST(range(1, n + 1)) AS t(i)
+        ),
+        pw(j, clo, chi) AS (VALUES {pw}),
+        grams AS (
+            SELECT doc_id, p,
+                   ((slo::UHUGEINT
+                     + (shi::UHUGEINT % 4294967296::UHUGEINT)
+                       * 4294967296::UHUGEINT)
+                    % {m64}::UHUGEINT)::UBIGINT AS g
+            FROM (
+                SELECT b.doc_id, b.i - pw.j AS p,
+                       sum(CAST(b.b AS BIGINT) * pw.clo) AS slo,
+                       sum(CAST(b.b AS BIGINT) * pw.chi) AS shi
+                FROM bytes b CROSS JOIN pw
+                WHERE b.i - pw.j >= 1
+                GROUP BY b.doc_id, b.i - pw.j
+                HAVING count(*) = {k}
+            )
+        ),
+        enc AS (
+            SELECT doc_id, p, g,
+                   g::UHUGEINT * 4294967296::UHUGEINT
+                       + (4294967295 - p)::UHUGEINT AS e
+            FROM grams
+        ),
+        wins AS (
+            SELECT doc_id, p AS w,
+                   min(e) OVER (PARTITION BY doc_id ORDER BY p
+                                ROWS BETWEEN CURRENT ROW
+                                AND {window - 1} FOLLOWING) AS me,
+                   count(*) OVER (PARTITION BY doc_id) AS ng
+            FROM enc
+        ),
+        sel AS (
+            SELECT DISTINCT doc_id,
+                   4294967295 - CAST(me % 4294967296::UHUGEINT AS BIGINT) AS pos,
+                   CAST(me // 4294967296::UHUGEINT AS UBIGINT) AS v
+            FROM wins WHERE w <= ng - {window - 1}
+        ),
+        short_sel AS (
+            SELECT doc_id, min(g) AS v FROM grams
+            GROUP BY doc_id HAVING count(*) BETWEEN 1 AND {window - 1}
+        ),
+        dig AS (
+            SELECT doc_id, count(*) AS n_selected,
+                   md5(string_agg(CAST(v AS VARCHAR), ',' ORDER BY pos))
+                       AS digest
+            FROM sel GROUP BY doc_id
+            UNION ALL
+            SELECT doc_id, 1, md5(CAST(v AS VARCHAR)) FROM short_sel
+        )
+        SELECT r.doc_id AS doc_id,
+               greatest(r.n - {k - 1}, 0)::BIGINT AS n_grams,
+               COALESCE(d.n_selected, 0)::BIGINT AS n_selected,
+               COALESCE(d.digest, md5('')) AS digest
+        FROM raw r LEFT JOIN dig d ON r.doc_id = d.doc_id
+        ORDER BY r.doc_id
+    """
+
+
 # ---------------------------------------------------------------------------
 # SimHash near-dup fingerprints
 # ---------------------------------------------------------------------------
@@ -1024,8 +1114,10 @@ def doc_winnow(
                 sel = grams[uniq].tolist()
             n_grams_l.append(len(grams))
             n_sel_l.append(len(sel))
+            # decimal-joined digest: md5 is VARCHAR-only in DuckDB, so the
+            # strict oracle hashes the same canonical string
             digest_l.append(
-                hashlib.md5(np.array(sel, dtype=np.uint64).tobytes()).hexdigest()
+                hashlib.md5(",".join(str(int(v)) for v in sel).encode()).hexdigest()
             )
         return pa.table(
             {
