@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tumbling": data_ops.events_tumbling,
         "events_hopping": data_ops.events_hopping,
         "events_sessionize": data_ops.events_sessionize,
+        "events_asof_join": data_ops.events_asof_join,
         "revenue_by_nation": data_ops.revenue_by_nation,
         "pricing_summary": data_ops.pricing_summary,
         # multimodal plumbing (stubbed decode)
@@ -275,6 +276,30 @@ def oracle_sql() -> dict[str, str]:
                        min(sec) AS start_sec, max(sec) AS end_sec
                 FROM s GROUP BY user_id, session_id
                 ORDER BY user_id, session_id
+            """,
+            "events_asof_join": """
+                WITH e AS (
+                    SELECT event_id, user_id, event_type, ts,
+                           CAST(floor(epoch(ts)) AS BIGINT) AS sec
+                    FROM events
+                ),
+                m AS (
+                    SELECT event_id, user_id, sec,
+                           last_value(CASE WHEN event_type = 'signup'
+                                      THEN event_id END IGNORE NULLS)
+                               OVER w AS ref_event_id,
+                           last_value(CASE WHEN event_type = 'signup'
+                                      THEN sec END IGNORE NULLS)
+                               OVER w AS ref_sec
+                    FROM e
+                    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING)
+                )
+                SELECT event_id, user_id, ref_event_id,
+                       sec - ref_sec AS gap_sec
+                FROM m WHERE ref_event_id IS NOT NULL
+                ORDER BY event_id
             """,
             "revenue_by_nation": """
                 SELECT n.n_name,

@@ -102,6 +102,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     timed("events_tumbling", data_ops.events_tumbling)
     timed("events_hopping", data_ops.events_hopping)
     timed("events_sessionize", data_ops.events_sessionize)
+    timed("events_asof_join", data_ops.events_asof_join)
     timed("top_tokens", data_ops.top_tokens)
     timed("doc_quality", data_ops.doc_quality)
     timed("embedding_kmeans", data_ops.embedding_kmeans)

@@ -310,7 +310,7 @@ _SHINGLE_SQL = r"""
             FROM docs, UNNEST(range(1, len(ws) - 1)) AS t(i)
             WHERE len(ws) >= 3
             UNION ALL
-            SELECT doc_id, array_to_string(ws, ' ') AS shingle
+            SELECT doc_id, COALESCE(array_to_string(ws, ' '), '') AS shingle
             FROM docs WHERE len(ws) < 3
         )
     )
@@ -399,7 +399,7 @@ def ngram_jaccard_oracle_sql(threshold: float = 0.5) -> str:
                 FROM docs, UNNEST(range(1, len(ws) - 1)) AS t(i)
                 WHERE len(ws) >= 3
                 UNION ALL
-                SELECT doc_id, array_to_string(ws, ' ') AS shingle
+                SELECT doc_id, COALESCE(array_to_string(ws, ' '), '') AS shingle
                 FROM docs WHERE len(ws) < 3
             )
         ),
@@ -1281,6 +1281,62 @@ def events_sessionize(sf_dir: str, gap_sec: int = 1800) -> ray.data.Dataset:
             sessionize,
         )
         .sort(["user_id", "session_id"])
+    )
+
+
+def events_asof_join(sf_dir: str, ref_type: str = "signup") -> ray.data.Dataset:
+    """As-of join (inner): each event matched to the most recent
+    strictly-prior event of the same user with event_type == ref_type.
+    Returns (event_id, user_id, ref_event_id, gap_sec) sorted by event_id.
+
+    Ray Data has no as-of join operator; the distributed plan is the
+    standard one — co-partition by the as-of key (user_id), sort each
+    partition once by (ts, event_id), then the match is a vectorized
+    forward-fill merge. The partitioning assumption: all rows of one key
+    share a bucket (bucketed_apply guarantees it), so no cross-partition
+    time ordering is ever needed."""
+
+    def prep(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["us"] = df["ts"].astype("datetime64[us]").astype("int64")
+        df["is_ref"] = df["event_type"] == ref_type
+        return pa.Table.from_pandas(
+            df[["event_id", "user_id", "us", "is_ref"]], preserve_index=False
+        )
+
+    def asof(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "us", "event_id"], kind="stable")
+        # globally shift+ffill the (ref id, ref us, ref user) triple; a
+        # carried value is valid only while still on the same user — the
+        # sort keeps each user's rows contiguous, so one vectorized pass
+        # handles every user in the bucket (no per-group Python)
+        rid = df["event_id"].where(df["is_ref"]).shift(1).ffill()
+        rus = df["us"].where(df["is_ref"]).shift(1).ffill()
+        ruid = df["user_id"].where(df["is_ref"]).shift(1).ffill()
+        ok = ruid.eq(df["user_id"]) & rid.notna()
+        out = pd.DataFrame(
+            {
+                "event_id": df.loc[ok, "event_id"].astype("int64"),
+                "user_id": df.loc[ok, "user_id"].astype("int64"),
+                "ref_event_id": rid[ok].astype("int64"),
+                "gap_sec": (
+                    df.loc[ok, "us"] // 1_000_000
+                    - rus[ok].astype("int64") // 1_000_000
+                ).astype("int64"),
+            }
+        )
+        return out
+
+    return (
+        bucketed_apply(
+            ray.data.read_parquet(
+                f"{sf_dir}/events.parquet",
+                columns=["event_id", "ts", "user_id", "event_type"],
+            ).map_batches(prep, batch_format="pyarrow"),
+            ["user_id"],
+            asof,
+        )
+        .sort("event_id")
     )
 
 

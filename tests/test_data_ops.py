@@ -418,3 +418,98 @@ def test_doc_winnow_properties():
     # density: winnowing selects ~2/(w+1) of positions; sanity bound
     frac = nonempty["n_selected"] / nonempty["n_grams"]
     assert frac.mean() < 0.75
+
+
+def test_events_asof_join_semantics(tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from codetoneo4j_ray.pipelines.data_ops import events_asof_join
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    sec = np.timedelta64(1, "s")
+    rows = [
+        # (event_id, user_id, ts_offset_sec, type)
+        (1, 7, 0, "click"),      # before any signup -> dropped
+        (2, 7, 10, "signup"),    # ref itself: no prior ref -> dropped
+        (3, 7, 25, "click"),     # -> ref 2, gap 15
+        (4, 7, 40, "signup"),    # -> ref 2 (strictly prior), gap 30
+        (5, 7, 41, "view"),      # -> ref 4 (latest), gap 1
+        (6, 9, 5, "view"),       # other user, no signup -> dropped
+    ]
+    pq.write_table(
+        pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "ts": pa.array([base + r[2] * sec for r in rows], pa.timestamp("us")),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+        }),
+        str(tmp_path / "events.parquet"),
+    )
+    df = events_asof_join(str(tmp_path)).to_pandas()
+    got = {r.event_id: (r.ref_event_id, r.gap_sec) for r in df.itertuples()}
+    assert got == {3: (2, 15), 4: (2, 30), 5: (4, 1)}
+    assert df["ref_event_id"].dtype == np.int64
+    assert df["gap_sec"].dtype == np.int64
+
+
+def test_sketch_oracles_edge_cases(tmp_path):
+    """Python ops vs their DuckDB oracle SQL on inputs the sf0.01 gate
+    never sees: empty docs, <3-word docs, leading/trailing whitespace,
+    sub-k-gram texts. Pins the '' sentinel-shingle contract."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from codetoneo4j_ray.pipelines.data_ops import (
+        doc_dedup_minhash,
+        doc_ngram_jaccard,
+        doc_winnow,
+        minhash_oracle_sql,
+        ngram_jaccard_oracle_sql,
+        winnow_oracle_sql,
+    )
+
+    texts = [
+        "",                                   # 0 empty
+        "",                                   # 1 empty (pairs with 0)
+        "one two",                            # 2 short (<3 words)
+        "one two",                            # 3 short dup (pairs with 2)
+        " ".join(f"w{i}" for i in range(21)),              # 4
+        " ".join(f"w{i}" for i in range(20)) + " zz",      # 5 near-dup (J=0.9)
+        "  leading   and trailing whitespace text here  ", # 6
+        "tiny",                               # 7 < 8 bytes (winnow 0-gram)
+        "12345678901",                        # 8 -> 4..11 bytes (short winnow)
+    ]
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "source": pa.array(["s"] * len(texts), pa.string()),
+        }),
+        str(tmp_path / "documents.parquet"),
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+
+    for op, sql in [
+        (doc_dedup_minhash, minhash_oracle_sql()),
+        (doc_ngram_jaccard, ngram_jaccard_oracle_sql()),
+        (doc_winnow, winnow_oracle_sql()),
+    ]:
+        ray_df = op(str(tmp_path)).to_pandas().reset_index(drop=True)
+        ora_df = con.execute(sql).fetchdf().reset_index(drop=True)
+        assert list(ray_df.columns) == list(ora_df.columns), op.__name__
+        assert ray_df.astype(str).equals(ora_df.astype(str)), (
+            op.__name__, ray_df, ora_df
+        )
+
+    # the edge pairs actually fired
+    pairs = set(
+        map(tuple, doc_dedup_minhash(str(tmp_path)).to_pandas().values)
+    )
+    assert (0, 1) in pairs and (2, 3) in pairs and (4, 5) in pairs
