@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": data_ops.doc_quality,
         "top_tokens": data_ops.top_tokens,
         "doc_fingerprint": data_ops.doc_fingerprint,
+        "doc_scrub": data_ops.doc_scrub,
         "doc_winnow": data_ops.doc_winnow,
         # streaming-shaped + relational
         "events_tumbling": data_ops.events_tumbling,
@@ -77,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": data_ops.events_sessionize,
         "events_asof_join": data_ops.events_asof_join,
         "revenue_by_nation": data_ops.revenue_by_nation,
+        "top_orders": data_ops.top_orders,
         "pricing_summary": data_ops.pricing_summary,
         # multimodal plumbing (stubbed decode)
         "media_decode_meta": multimodal.media_decode_meta,
@@ -138,6 +140,22 @@ def oracle_sql() -> dict[str, str]:
                 )
                 SELECT "rank", token, n FROM ranked
                 WHERE "rank" <= 50 ORDER BY "rank"
+            """,
+            "doc_scrub": r"""
+                SELECT doc_id,
+                       length(regexp_extract_all(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+')) AS n_emails,
+                       length(regexp_extract_all(
+                           regexp_replace(text,
+                               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+',
+                               '<EMAIL>', 'g'),
+                           '[0-9]{3,}')) AS n_nums,
+                       md5(regexp_replace(
+                           regexp_replace(text,
+                               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+',
+                               '<EMAIL>', 'g'),
+                           '[0-9]{3,}', '<NUM>', 'g')) AS scrubbed_md5
+                FROM documents ORDER BY doc_id
             """,
             "doc_fingerprint": r"""
                 SELECT doc_id,
@@ -311,6 +329,41 @@ def oracle_sql() -> dict[str, str]:
                 JOIN customer c ON o.o_custkey = c.c_custkey
                 JOIN nation n ON c.c_nationkey = n.n_nationkey
                 GROUP BY n.n_name ORDER BY n.n_name
+            """,
+            "top_orders": """
+                WITH seg AS (
+                    SELECT c_custkey FROM customer
+                    WHERE c_mktsegment = 'BUILDING'
+                ),
+                o AS (
+                    SELECT o_orderkey,
+                           CAST(floor(epoch(o_orderdate)) AS BIGINT)
+                               AS orderdate_sec,
+                           o_orderpriority
+                    FROM orders JOIN seg ON o_custkey = c_custkey
+                    WHERE o_orderdate < TIMESTAMP '1998-07-01'
+                ),
+                l AS (
+                    SELECT l_orderkey,
+                           CAST(sum(CAST(floor(l_extendedprice
+                               * (1 - l_discount) * 100) AS BIGINT))
+                               AS BIGINT) AS revenue_cents
+                    FROM lineitem WHERE l_shipdate > TIMESTAMP '1998-07-01'
+                    GROUP BY l_orderkey
+                ),
+                j AS (
+                    SELECT o.o_orderkey, o.orderdate_sec, o.o_orderpriority,
+                           l.revenue_cents
+                    FROM o JOIN l ON o.o_orderkey = l.l_orderkey
+                ),
+                r AS (
+                    SELECT *, row_number() OVER (
+                        ORDER BY revenue_cents DESC, o_orderkey
+                    ) AS rn FROM j
+                )
+                SELECT o_orderkey, orderdate_sec, o_orderpriority,
+                       revenue_cents
+                FROM r WHERE rn <= 10 ORDER BY o_orderkey
             """,
             "pricing_summary": """
                 SELECT l_returnflag, l_linestatus,

@@ -98,11 +98,13 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     timed("text_stats", data_ops.text_stats)
     timed("lang_id", data_ops.lang_id)
     timed("doc_fingerprint", data_ops.doc_fingerprint)
+    timed("doc_scrub", data_ops.doc_scrub)
     timed("doc_winnow", data_ops.doc_winnow)
     timed("events_tumbling", data_ops.events_tumbling)
     timed("events_hopping", data_ops.events_hopping)
     timed("events_sessionize", data_ops.events_sessionize)
     timed("events_asof_join", data_ops.events_asof_join)
+    timed("top_orders", data_ops.top_orders)
     timed("top_tokens", data_ops.top_tokens)
     timed("doc_quality", data_ops.doc_quality)
     timed("embedding_kmeans", data_ops.embedding_kmeans)

@@ -1133,6 +1133,41 @@ def doc_winnow(
     ).sort("doc_id")
 
 
+def doc_scrub(sf_dir: str) -> ray.data.Dataset:
+    """PII-style scrub pass: redact digit runs (>=3) to '<NUM>' and
+    '@'-containing tokens to '<EMAIL>'; returns per doc the redaction
+    counts and the md5 of the scrubbed text — the shape of a
+    training-data cleaning stage (scrub + audit trail), fully
+    vectorizable and oracle-exact (same RE2-safe patterns both sides)."""
+    import re
+
+    num = re.compile(r"[0-9]{3,}", re.ASCII)
+    email = re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", re.ASCII)
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        n_nums, n_emails, digests = [], [], []
+        for t in texts:
+            t2, ne = email.subn("<EMAIL>", t)
+            t3, nn = num.subn("<NUM>", t2)
+            n_emails.append(ne)
+            n_nums.append(nn)
+            digests.append(hashlib.md5(t3.encode()).hexdigest())
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_emails": pa.array(n_emails, pa.int64()),
+                "n_nums": pa.array(n_nums, pa.int64()),
+                "scrubbed_md5": pa.array(digests, pa.string()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        scrub, batch_format="pyarrow"
+    ).sort("doc_id")
+
+
 def doc_fingerprint(sf_dir: str) -> ray.data.Dataset:
     """Normalized-text digest fingerprint: md5(lower(ws-collapsed text))."""
     import re
@@ -1343,6 +1378,105 @@ def events_asof_join(sf_dir: str, ref_type: str = "signup") -> ray.data.Dataset:
 # ---------------------------------------------------------------------------
 # relational: broadcast-join revenue per nation (TPC-H Q5-ish shape)
 # ---------------------------------------------------------------------------
+
+
+def top_orders(
+    sf_dir: str, segment: str = "BUILDING", cutoff: str = "1998-07-01",
+    k: int = 10,
+) -> ray.data.Dataset:
+    """TPC-H Q3 shape: top-k unshipped orders by discounted revenue for
+    one market segment. Distributed plan: the segment custkey set is the
+    only broadcast (true dimension); orders and lineitem — both
+    fact-scale — meet in a hash-partitioned bucket join on orderkey with
+    lineitem pre-aggregated per batch; each bucket emits its local top-k
+    and one global merge ranks k·buckets candidate rows (exact, since an
+    order lives in exactly one bucket). Returns
+    (o_orderkey, orderdate_sec, o_orderpriority, revenue_cents)."""
+    cut = pd.Timestamp(cutoff)
+
+    seg_keys = set(
+        ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_mktsegment"],
+        )
+        .filter(expr=f"c_mktsegment == '{segment}'")
+        .to_pandas()["c_custkey"]
+    )
+    ref = ray.put(seg_keys)
+
+    def orders_side(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[(df["o_orderdate"] < cut)
+                & df["o_custkey"].isin(_cached_get(ref))]
+        n = len(df)
+        return pa.table(
+            {
+                "orderkey": pa.array(df["o_orderkey"], pa.int64()),
+                "orderdate_sec": pa.array(
+                    df["o_orderdate"].astype("datetime64[s]").astype("int64"),
+                    pa.int64(),
+                ),
+                "priority": pa.array(df["o_orderpriority"], pa.string()),
+                "revenue_cents": pa.nulls(n, pa.int64()),
+                "side": pa.array(["o"] * n, pa.string()),
+            }
+        )
+
+    def lineitem_side(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[df["l_shipdate"] > cut]
+        df["rev_cents"] = np.floor(
+            df["l_extendedprice"] * (1 - df["l_discount"]) * 100
+        ).astype("int64")
+        g = df.groupby("l_orderkey", as_index=False).agg(
+            revenue_cents=("rev_cents", "sum")
+        )
+        n = len(g)
+        return pa.table(
+            {
+                "orderkey": pa.array(g["l_orderkey"], pa.int64()),
+                "orderdate_sec": pa.nulls(n, pa.int64()),
+                "priority": pa.nulls(n, pa.string()),
+                "revenue_cents": pa.array(g["revenue_cents"], pa.int64()),
+                "side": pa.array(["l"] * n, pa.string()),
+            }
+        )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(orders_side, batch_format="pyarrow")
+    items = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(lineitem_side, batch_format="pyarrow")
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["revenue_cents", "o_orderkey"], ascending=[False, True],
+            kind="stable",
+        ).head(k)
+
+    def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        o = df.loc[df["side"] == "o",
+                   ["orderkey", "orderdate_sec", "priority"]]
+        li = df.loc[df["side"] == "l", ["orderkey", "revenue_cents"]]
+        li = li.groupby("orderkey", as_index=False).agg(
+            revenue_cents=("revenue_cents", "sum")
+        )
+        m = li.merge(o, on="orderkey", how="inner")
+        out = pd.DataFrame(
+            {
+                "o_orderkey": m["orderkey"].astype("int64"),
+                "orderdate_sec": m["orderdate_sec"].astype("int64"),
+                "o_orderpriority": m["priority"],
+                "revenue_cents": m["revenue_cents"].astype("int64"),
+            }
+        )
+        return topk(out)
+
+    joined = bucketed_apply(orders.union(items), ["orderkey"], join_bucket)
+    return bucketed_apply(joined, [], topk).sort("o_orderkey")
 
 
 def revenue_by_nation(sf_dir: str) -> ray.data.Dataset:

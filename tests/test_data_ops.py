@@ -513,3 +513,84 @@ def test_sketch_oracles_edge_cases(tmp_path):
         map(tuple, doc_dedup_minhash(str(tmp_path)).to_pandas().values)
     )
     assert (0, 1) in pairs and (2, 3) in pairs and (4, 5) in pairs
+
+
+def test_top_orders_topk_ties(tmp_path):
+    """Revenue ties at the k boundary break by orderkey asc, and the
+    per-bucket top-k + global merge stays exact across buckets."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from codetoneo4j_ray.pipelines.data_ops import top_orders
+
+    nk = 30
+    pq.write_table(
+        pa.table({
+            "c_custkey": pa.array(range(nk), pa.int64()),
+            "c_mktsegment": pa.array(["BUILDING"] * nk, pa.string()),
+        }),
+        str(tmp_path / "customer.parquet"),
+    )
+    od = np.datetime64("1998-01-01", "us")
+    pq.write_table(
+        pa.table({
+            "o_orderkey": pa.array(range(nk), pa.int64()),
+            "o_custkey": pa.array(range(nk), pa.int64()),
+            "o_orderdate": pa.array([od] * nk, pa.timestamp("us")),
+            "o_orderpriority": pa.array(["1-URGENT"] * nk, pa.string()),
+        }),
+        str(tmp_path / "orders.parquet"),
+    )
+    sd = np.datetime64("1999-01-01", "us")
+    # every order has identical revenue -> top-10 must be orderkeys 0..9
+    pq.write_table(
+        pa.table({
+            "l_orderkey": pa.array(range(nk), pa.int64()),
+            "l_extendedprice": pa.array([100.0] * nk, pa.float64()),
+            "l_discount": pa.array([0.0] * nk, pa.float64()),
+            "l_shipdate": pa.array([sd] * nk, pa.timestamp("us")),
+        }),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    df = top_orders(str(tmp_path)).to_pandas()
+    assert list(df["o_orderkey"]) == list(range(10))
+    assert (df["revenue_cents"] == 10000).all()
+    assert df["revenue_cents"].dtype == np.int64
+
+
+def test_doc_scrub_redactions(tmp_path):
+    """Oracle parity on text that actually contains emails/digit runs
+    (the sf testdata has none, so the gate alone is weak evidence)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entry
+    from codetoneo4j_ray.pipelines.data_ops import doc_scrub
+
+    texts = [
+        "call 555123 or mail bob.smith+x@ex-ample.co.uk now",
+        "v1.2 has 12 bugs, build 4711 fixed 007 of them",
+        "no digits here",
+        "a@b c@d.e 999",
+        "",
+    ]
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }),
+        str(tmp_path / "documents.parquet"),
+    )
+    ray_df = doc_scrub(str(tmp_path)).to_pandas()
+    assert list(ray_df["n_emails"]) == [1, 0, 0, 2, 0]
+    assert list(ray_df["n_nums"]) == [1, 2, 0, 1, 0]
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    ora_df = con.execute(entry.oracle_sql()["doc_scrub"]).fetchdf()
+    assert ray_df.astype(str).equals(ora_df.astype(str))
