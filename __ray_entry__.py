@@ -36,6 +36,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         q_kg_file_history,
         q_kg_files,
         q_kg_mentions_raw,
+        q_kg_degree_topk,
         q_kg_pred_counts,
         q_kg_nodes,
         q_kg_symbol_kinds,
@@ -48,6 +49,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_files": q_kg_files,
         "kg_symbol_kinds": q_kg_symbol_kinds,
         "kg_pred_counts": q_kg_pred_counts,
+        "kg_degree_topk": q_kg_degree_topk,
         "kg_mentions_raw": q_kg_mentions_raw,
         # commit subgraph (UpsertCommit/UpsertFile cypher analogs)
         "kg_commits": q_kg_commits,
@@ -82,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": data_ops.pricing_summary,
         # multimodal plumbing (stubbed decode)
         "media_decode_meta": multimodal.media_decode_meta,
+        "media_frame_sample": multimodal.media_frame_sample,
     }
 
 
@@ -374,6 +377,19 @@ def oracle_sql() -> dict[str, str]:
                 FROM lineitem
                 GROUP BY l_returnflag, l_linestatus
                 ORDER BY l_returnflag, l_linestatus
+            """,
+            "media_frame_sample": """
+                WITH meta AS (
+                    SELECT doc_id AS media_id,
+                           octet_length(encode(text)) AS n_bytes,
+                           octet_length(encode(text)) % 16 AS n_frames
+                    FROM documents
+                )
+                SELECT media_id, f.i AS frame_idx,
+                       md5(media_id || ':' || f.i || ':' || n_bytes)
+                           AS frame_md5
+                FROM meta, UNNEST(range(0, n_frames, 2)) AS f(i)
+                ORDER BY media_id, frame_idx
             """,
             "media_decode_meta": """
                 SELECT doc_id AS media_id,

@@ -79,6 +79,24 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
 
     only_kg = os.environ.get("GRAFT_BENCH_ONLY") == "kg"
 
+    # the multi-node configuration, timed alongside the broadcast default
+    # so every BENCH records both (scaling runs already pin one mode via
+    # GRAFT_KG_MODE and skip this)
+    if not only_kg and mode == "broadcast":
+        out_dir_p = os.path.join(
+            corpus_dir_for_sf(sf_dir), f"bench_out_{num_cpus}_part"
+        )
+        shutil.rmtree(out_dir_p, ignore_errors=True)
+        t0 = time.perf_counter()
+        m2 = build_graph(corpus_path, out_dir_p, resume=False,
+                         mode="partitioned",
+                         concurrency=(max(1, num_cpus // 2), num_cpus))
+        timings["kg_build_partitioned"] = round(time.perf_counter() - t0, 3)
+        extras["kg_files_per_sec_partitioned"] = round(
+            m2["files"] / timings["kg_build_partitioned"], 1
+        )
+        shutil.rmtree(out_dir_p, ignore_errors=True)
+
     def timed(name, fn):
         if only_kg:
             return 0
@@ -111,6 +129,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     timed("revenue_by_nation", data_ops.revenue_by_nation)
     timed("pricing_summary", data_ops.pricing_summary)
     timed("media_decode_meta", multimodal.media_decode_meta)
+    timed("media_frame_sample", multimodal.media_frame_sample)
 
     # commit subgraph over the synthetic commits side table
     from codetoneo4j_ray.pipelines.kg_queries import (

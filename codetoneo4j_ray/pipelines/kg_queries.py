@@ -391,6 +391,45 @@ def oracle_kg(sf_dir: str) -> dict[str, str]:
             FROM ({nodes_dedup})
             GROUP BY language, kind ORDER BY language, kind
         """,
+        "kg_degree_topk": f"""
+            WITH sym AS (SELECT * FROM {records} WHERE rec_type = 'symbol'),
+            keys AS (SELECT DISTINCT key FROM sym),
+            men AS (
+                SELECT subj, pred, obj FROM {mentions}
+                WHERE pred NOT IN ('{MEMBER_PRED}', '{BASE_PRED}')
+            ),
+            all_edges AS (
+                SELECT m.subj, m.pred, m.obj
+                FROM men m
+                JOIN keys k1 ON m.subj = k1.key
+                JOIN keys k2 ON m.obj = k2.key
+                UNION ALL
+                SELECT file_key, 'src__DECLARES', key FROM sym
+                UNION ALL
+                SELECT lower(repo), 'src__HAS_FILE', key
+                FROM {records} WHERE rec_type = 'file'
+                UNION ALL
+                SELECT s.key, 'src__HAS_TAG', t.tag
+                FROM sym s JOIN {tags_map} t ON s.namespace = t.namespace
+                UNION ALL
+                SELECT lower(repo), 'src__DEPENDS_ON', key
+                FROM sym WHERE kind = 'Dependency'
+                UNION ALL
+                SELECT dep_key, 'src__HAS_URL', url_key
+                FROM {records} WHERE rec_type = 'url'
+            ),
+            deg AS (
+                SELECT subj, count(*) AS n
+                FROM (SELECT DISTINCT subj, pred, obj FROM all_edges)
+                GROUP BY subj
+            ),
+            ranked AS (
+                SELECT subj, n, row_number() OVER (
+                    ORDER BY n DESC, subj
+                ) AS rn FROM deg
+            )
+            SELECT subj, n FROM ranked WHERE rn <= 20 ORDER BY subj
+        """,
         "kg_pred_counts": f"""
             WITH sym AS (SELECT * FROM {records} WHERE rec_type = 'symbol'),
             keys AS (SELECT DISTINCT key FROM sym),
@@ -423,3 +462,35 @@ def oracle_kg(sf_dir: str) -> dict[str, str]:
             GROUP BY pred ORDER BY pred
         """,
     }
+
+
+def q_kg_degree_topk(sf_dir: str, k: int = 20) -> ray.data.Dataset:
+    """Top-k node keys by out-degree over the FINAL edge table — the
+    graph-analytics heavy-hitter a KG consumer runs first. Same partial/
+    merge/global-top-k pattern as top_tokens: per-batch counts, bucketed
+    exact merge by subj, per-bucket local top-k, one global merge."""
+    import pandas as pd
+
+    from codetoneo4j_ray.stages.bucketing import bucketed_apply
+
+    edges = q_kg_edges(sf_dir)
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().groupby("subj", as_index=False).size().rename(
+            columns={"size": "n"}
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["n", "subj"], ascending=[False, True],
+                            kind="stable").head(k)
+        df["n"] = df["n"].astype("int64")
+        return df
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return topk(df.groupby("subj", as_index=False).agg(n=("n", "sum")))
+
+    partials = edges.map_batches(partial, batch_format="pyarrow")
+    return bucketed_apply(
+        bucketed_apply(partials, ["subj"], merge), [], topk
+    ).sort("subj")

@@ -103,3 +103,44 @@ def media_decode_meta(sf_dir: str) -> ray.data.Dataset:
                      concurrency=_decode_pool_size())
         .sort("media_id")
     )
+
+def media_frame_sample(sf_dir: str, stride: int = 2) -> ray.data.Dataset:
+    """Decode → frame-sample expansion: every ``stride``-th frame index
+    becomes its own row with a deterministic per-frame feature digest
+    (the real pipeline would emit a decoded frame tensor / embedding
+    here). The expansion is the flat-map shape of video pipelines: row
+    counts grow by the sample factor, so it runs AFTER the actor-pool
+    decode and before any shuffle, letting the streaming executor
+    pipeline the fan-out."""
+    import hashlib
+
+    def sample(batch: pa.Table) -> pa.Table:
+        out_id: list[int] = []
+        out_idx: list[int] = []
+        out_md5: list[str] = []
+        for mid, nb, nf in zip(
+            batch["media_id"].to_pylist(),
+            batch["n_bytes"].to_pylist(),
+            batch["n_frames"].to_pylist(),
+        ):
+            for i in range(0, nf, stride):
+                out_id.append(mid)
+                out_idx.append(i)
+                out_md5.append(
+                    hashlib.md5(f"{mid}:{i}:{nb}".encode()).hexdigest()
+                )
+        return pa.table(
+            {
+                "media_id": pa.array(out_id, pa.int64()),
+                "frame_idx": pa.array(out_idx, pa.int64()),
+                "frame_md5": pa.array(out_md5, pa.string()),
+            }
+        )
+
+    return (
+        media_from_documents(sf_dir)
+        .map_batches(MediaDecode, batch_format="pyarrow", batch_size=64,
+                     concurrency=_decode_pool_size())
+        .map_batches(sample, batch_format="pyarrow")
+        .sort(["media_id", "frame_idx"])
+    )
