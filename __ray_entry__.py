@@ -15,8 +15,12 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import os as _os
+
 SF001 = "/root/testdata/sf0.001"
-SF01 = "/root/testdata/sf0.01"
+# the driver gates at sf0.01; the env override lets tools/ run the same
+# oracle contract at other scale factors (never set by the driver)
+SF01 = _os.environ.get("GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
 
 
 def entry() -> Any:
@@ -99,7 +103,7 @@ def oracle_sql() -> dict[str, str]:
     sql = dict(oracle_kg(SF01))
     sql.pop("kg_mentions_raw", None)
 
-    tok = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+    tok = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\f\r]"
     sql.update(
         {
             "doc_dedup_exact": """
@@ -114,16 +118,23 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents ORDER BY doc_id
             """,
             "doc_quality": """
-                SELECT doc_id,
-                       length(text) AS n_chars,
-                       length(regexp_split_to_array(trim(text), '[ \t\n\r]+')) AS n_words,
-                       (length(regexp_replace(text, '[^.,!?;:]', '', 'g')) * 100)
-                           // length(text) AS punct_per_100_chars,
-                       (length(text) BETWEEN 50 AND 100000)
-                           AND length(regexp_split_to_array(trim(text), '[ \t\n\r]+')) >= 10
-                           AND ((length(regexp_replace(text, '[^.,!?;:]', '', 'g')) * 100)
-                                // length(text)) <= 20 AS keep
-                FROM documents ORDER BY doc_id
+                WITH q AS (
+                    SELECT doc_id,
+                           length(text) AS n_chars,
+                           len(list_filter(regexp_split_to_array(
+                               text, '[ \t\n\r]+'), w -> w <> '')) AS n_words,
+                           CASE WHEN length(text) = 0 THEN 0
+                                ELSE (length(regexp_replace(
+                                          text, '[^.,!?;:]', '', 'g')) * 100)
+                                     // length(text)
+                           END AS punct_per_100_chars
+                    FROM documents
+                )
+                SELECT doc_id, n_chars, n_words, punct_per_100_chars,
+                       (n_chars BETWEEN 50 AND 100000)
+                           AND n_words >= 10
+                           AND punct_per_100_chars <= 20 AS keep
+                FROM q ORDER BY doc_id
             """,
             "top_tokens": """
                 WITH toks AS (
@@ -162,7 +173,7 @@ def oracle_sql() -> dict[str, str]:
             """,
             "doc_fingerprint": r"""
                 SELECT doc_id,
-                       md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint
+                       md5(lower(regexp_replace(text, '[ \t\n\f\r]+', ' ', 'g'))) AS fingerprint
                 FROM documents ORDER BY doc_id
             """,
             "ann_topk": """

@@ -9,6 +9,7 @@ agree bit-exactly regardless of summation order.
 from __future__ import annotations
 
 import hashlib
+import re
 
 import numpy as np
 import pandas as pd
@@ -74,8 +75,33 @@ _LSH_BANDS = 16  # 16 bands × 4 rows
 _MERSENNE = (1 << 61) - 1
 
 
+def _sql_lower(text: str) -> str:
+    """lower() matching DuckDB/utf8proc's SIMPLE case map. Python's
+    str.lower() applies full Unicode casing — the unconditional
+    multi-char entry (U+0130 'İ' -> 'i' + combining dot) and the
+    contextual final-sigma rule both diverge from utf8proc's 1:1 map.
+    Charwise lowering (with 'İ' pre-mapped) reproduces the simple map;
+    the isascii() fast path keeps the common case on the fast C
+    implementation."""
+    if text.isascii():
+        return text.lower()
+    return "".join(c.lower() for c in text.replace("\u0130", "i"))
+
+
+_WS_SPLIT = re.compile(r"[ \t\n\r]+")
+
+
+def _words(text: str) -> list[str]:
+    """Word split matching the oracle contract exactly: runs of
+    space/tab/newline/CR. Python's bare str.split() also splits on
+    \x0b/\x0c/\x1c-\x1f/NBSP etc., which the RE2 class in the DuckDB
+    oracles does not — this helper makes the Python side total over
+    arbitrary input, not just the common-whitespace testdata."""
+    return [w for w in _WS_SPLIT.split(text) if w]
+
+
 def _shingles(text: str, k: int = 3) -> set[int]:
-    words = text.lower().split()
+    words = _words(_sql_lower(text))
     if len(words) < k:
         return {hash_bytes(" ".join(words))} if words else set()
     return {hash_bytes(" ".join(words[i : i + k])) for i in range(len(words) - k + 1)}
@@ -85,7 +111,7 @@ def _shingle_strs(text: str, k: int = 3) -> set[str]:
     """Word k-gram strings. An empty doc yields the sentinel '' shingle so
     the DuckDB oracle (which joins on shingle strings) sees the same set
     algebra: empty-vs-empty J=1, empty-vs-anything-else J=0."""
-    words = text.lower().split()
+    words = _words(_sql_lower(text))
     if len(words) < k:
         return {" ".join(words)}
     return {" ".join(words[i : i + k]) for i in range(len(words) - k + 1)}
@@ -536,7 +562,7 @@ def doc_simhash(sf_dir: str) -> ray.data.Dataset:
         out = []
         for text in texts:
             acc = np.zeros(64, dtype=np.int64)
-            for w in set(text.lower().split()):
+            for w in set(_words(_sql_lower(text))):
                 h = np.uint64(
                     int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
                 )
@@ -929,7 +955,9 @@ def embedding_kmeans(sf_dir: str, k: int = 8, iters: int = 10) -> ray.data.Datas
 # text analysis
 # ---------------------------------------------------------------------------
 
-_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+# explicit whitespace class: RE2's \s is [ \t\n\f\r] but Python ASCII \s
+# also includes \x0b — spelling it out keeps both engines identical
+_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\f\r]"
 _PUNCT_PATTERN = r"[^.,!?;:]"
 
 _STOPWORDS = {
@@ -973,7 +1001,7 @@ def lang_id(sf_dir: str) -> ray.data.Dataset:
         texts = batch["text"].to_pylist()
         preds = []
         for t in texts:
-            words = set(t.lower().split())
+            words = set(_words(_sql_lower(t)))
             best, best_n = "unknown", 0
             for lang in sorted(_STOPWORDS):
                 hits = len(words & _STOPWORDS[lang])
@@ -1000,7 +1028,7 @@ def top_tokens(sf_dir: str, k: int = 50) -> ray.data.Dataset:
     def partial(batch: pa.Table) -> pa.Table:
         counts: dict[str, int] = {}
         for text in batch["text"].to_pylist():
-            for tok in text.lower().split():
+            for tok in _words(_sql_lower(text)):
                 counts[tok] = counts.get(tok, 0) + 1
         return pa.table(
             {
@@ -1051,7 +1079,7 @@ def doc_quality(sf_dir: str) -> ray.data.Dataset:
         n_chars, n_words, punct100, keeps = [], [], [], []
         for t in texts:
             nc = len(t)
-            nw = len(t.split())
+            nw = len(_words(t))
             np_ = sum(1 for c in t if c in ".,!?;:")
             p100 = (np_ * 100) // nc if nc else 0
             n_chars.append(nc)
@@ -1092,7 +1120,7 @@ def doc_winnow(
         n_grams_l, n_sel_l, digest_l = [], [], []
         for text in texts:
             data = np.frombuffer(
-                text.lower().encode("utf-8", "replace"), dtype=np.uint8
+                _sql_lower(text).encode("utf-8", "replace"), dtype=np.uint8
             ).astype(np.uint64)
             if len(data) < k:
                 n_grams_l.append(0)
@@ -1172,13 +1200,13 @@ def doc_fingerprint(sf_dir: str) -> ray.data.Dataset:
     """Normalized-text digest fingerprint: md5(lower(ws-collapsed text))."""
     import re
 
-    ws = re.compile(r"\s+", re.ASCII)  # match RE2/DuckDB \s semantics
+    ws = re.compile(r"[ \t\n\f\r]+")  # == RE2 \s, minus Python's \x0b
 
     def fp(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_pylist()
         texts = batch["text"].to_pylist()
         out = [
-            hashlib.md5(ws.sub(" ", t).lower().encode("utf-8")).hexdigest()
+            hashlib.md5(_sql_lower(ws.sub(" ", t)).encode("utf-8")).hexdigest()
             for t in texts
         ]
         return pa.table(

@@ -594,3 +594,51 @@ def test_doc_scrub_redactions(tmp_path):
     )
     ora_df = con.execute(entry.oracle_sql()["doc_scrub"]).fetchdf()
     assert ray_df.astype(str).equals(ora_df.astype(str))
+
+
+def test_text_oracles_adversarial_whitespace(tmp_path):
+    """Every text-family op vs its DuckDB oracle on input the sf corpora
+    never contain: \\x0b/\\x0c/NBSP (where Python's and RE2's \\s
+    disagree), unicode case, empty and punct-only docs. Pins the
+    explicit-whitespace-class contract."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entry
+    from codetoneo4j_ray.pipelines import data_ops
+
+    texts = [
+        "plain words the and of to a in is that it for more pad pad",
+        "tab\tsep\nnewline\rcr and\x0bvertical\x0cformfeed mix",
+        "nbsp\xa0joined und der die das nicht ein zu mit von ja",
+        "\t leading tabs and trailing \n\n",
+        "",
+        "!!! ??? ,,, ;;; :::",
+        "Ümlaut Çedilla İstanbul STRASSE weiß",
+        "digits 123 456789 and email a.b@c-d.e here",
+        "le la les et est une de pas pour oui",
+    ]
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "source": pa.array(["s"] * len(texts), pa.string()),
+        }),
+        str(tmp_path / "documents.parquet"),
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    oracles = entry.oracle_sql()
+    for name in ["text_stats", "doc_quality", "lang_id", "doc_simhash",
+                 "top_tokens", "doc_fingerprint", "doc_scrub"]:
+        op = getattr(data_ops, name)
+        ray_df = op(str(tmp_path)).to_pandas().reset_index(drop=True)
+        ora_df = con.execute(oracles[name]).fetchdf().reset_index(drop=True)
+        assert list(ray_df.columns) == list(ora_df.columns), name
+        assert ray_df.astype(str).equals(ora_df.astype(str)), (
+            name, ray_df, ora_df
+        )
