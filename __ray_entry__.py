@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": data_ops.ann_topk,
         "ann_ivf": data_ops.ann_ivf,
         "embedding_kmeans": data_ops.embedding_kmeans,
+        "embedding_quantize": data_ops.embedding_quantize,
         # text analysis
         "text_stats": data_ops.text_stats,
         "lang_id": data_ops.lang_id,
@@ -200,6 +201,27 @@ def oracle_sql() -> dict[str, str]:
                 )
                 SELECT query_id, "rank", vec_id, sim_micro
                 FROM ranked WHERE "rank" <= 10 ORDER BY query_id, "rank"
+            """,
+            "embedding_quantize": """
+                WITH v AS (
+                    SELECT vec_id,
+                           list_transform(embedding, x -> x::DOUBLE) AS x,
+                           list_max(list_transform(embedding,
+                               x -> abs(x::DOUBLE))) AS m
+                    FROM embeddings
+                ),
+                s AS (
+                    SELECT vec_id, x,
+                           CASE WHEN m > 0 THEN 127.0 / m ELSE 0.0 END
+                               AS scale
+                    FROM v
+                )
+                SELECT vec_id,
+                       CAST(floor(scale * 1000000) AS BIGINT) AS scale_micro,
+                       md5(array_to_string(list_transform(x,
+                           e -> CAST(CAST(floor(e * scale) AS BIGINT)
+                                     AS VARCHAR)), ',')) AS q_md5
+                FROM s ORDER BY vec_id
             """,
             "events_tumbling": """
                 SELECT user_id,

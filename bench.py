@@ -126,6 +126,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     timed("top_tokens", data_ops.top_tokens)
     timed("doc_quality", data_ops.doc_quality)
     timed("embedding_kmeans", data_ops.embedding_kmeans)
+    timed("embedding_quantize", data_ops.embedding_quantize)
     timed("revenue_by_nation", data_ops.revenue_by_nation)
     timed("pricing_summary", data_ops.pricing_summary)
     timed("media_decode_meta", multimodal.media_decode_meta)

@@ -710,6 +710,42 @@ def _train_centroids(
     return centers
 
 
+def embedding_quantize(sf_dir: str) -> ray.data.Dataset:
+    """Int8 scalar quantization per vector (the ANN-serving prep step):
+    scale = 127/max|x|, q_i = floor(x_i * scale). Returns
+    (vec_id, scale_micro, q_md5) where q_md5 digests the comma-joined
+    quantized vector — a per-element-exact, scalar-shaped audit of the
+    whole quantization, strict-oracle-checkable (both sides do the same
+    float64 divide/multiply/floor). Pure map, no shuffle until the
+    output sort."""
+
+    def quant(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_pylist()
+        embs = batch["embedding"].to_pylist()
+        scales, digests = [], []
+        for v in embs:
+            x = np.asarray(v, dtype=np.float64)
+            m = np.abs(x).max() if len(x) else 0.0
+            scale = (127.0 / m) if m > 0 else 0.0
+            q = np.floor(x * scale).astype(np.int64)
+            scales.append(int(np.floor(scale * 1_000_000)))
+            digests.append(
+                hashlib.md5(",".join(str(int(e)) for e in q).encode())
+                .hexdigest()
+            )
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "scale_micro": pa.array(scales, pa.int64()),
+                "q_md5": pa.array(digests, pa.string()),
+            }
+        )
+
+    return _emb(sf_dir).map_batches(quant, batch_format="pyarrow").sort(
+        "vec_id"
+    )
+
+
 def ann_topk(sf_dir: str, n_queries: int = 8, k: int = 10) -> ray.data.Dataset:
     """Brute-force cosine top-k: queries = embeddings of the first
     n_queries vec_ids; numpy matmul per batch against the broadcast query
