@@ -116,6 +116,7 @@ def main(argv: list[str] | None = None) -> int:
                 min_accessibility=args.min_accessibility,
                 resume=not args.no_resume, mode=args.mode,
                 packages_path=args.packages, no_key=args.no_key,
+                batch_size=args.batch_size,
             )
             if args.commits:
                 _write_commit_graph(args.commits, args.output, metrics)
@@ -128,8 +129,11 @@ def main(argv: list[str] | None = None) -> int:
             metrics = build_graph_incremental(
                 args.input, args.prior, args.output,
                 min_accessibility=args.min_accessibility, mode=args.mode,
-                packages_path=args.packages,
+                packages_path=args.packages, no_key=args.no_key,
+                batch_size=args.batch_size,
             )
+            if args.commits:
+                _write_commit_graph(args.commits, args.output, metrics)
             print(json.dumps(metrics))
     finally:
         ray.shutdown()
@@ -155,7 +159,11 @@ def _write_commit_graph(commits_path: str, out_dir: str, metrics: dict) -> None:
         path = f"{out_dir}/{name}"
         shutil.rmtree(path, ignore_errors=True)
         ds.write_parquet(path)
-        metrics[name] = ds.count()
+        # row count from the written footers — a lazy dataset would
+        # re-execute its whole lineage on a second consumer
+        from codetoneo4j_ray.pipelines.build_graph import _parquet_rows
+
+        metrics[name] = _parquet_rows(path)
 
 
 if __name__ == "__main__":

@@ -56,12 +56,13 @@ def extract_to_records(
     concurrency=None,
     pkg_meta: dict | None = None,
     no_key: bool = False,
+    batch_size: int = 64,
 ) -> ray.data.Dataset:
     """Stages 1a+1b, returning the unified record stream (lazy)."""
     indices = build_type_index(corpus)
     return extract_records(
         corpus, indices, min_accessibility, concurrency=concurrency,
-        pkg_meta=pkg_meta, no_key=no_key,
+        pkg_meta=pkg_meta, no_key=no_key, batch_size=batch_size,
     )
 
 
@@ -163,6 +164,7 @@ def build_graph(
     mode: str = "broadcast",
     packages_path: str | None = None,
     no_key: bool = False,
+    batch_size: int = 64,
 ) -> dict:
     """Full run with a records checkpoint; returns metrics."""
     config = {"min_accessibility": min_accessibility, "v": 2,
@@ -198,7 +200,7 @@ def build_graph(
         else:
             records = extract_to_records(corpus, min_accessibility,
                                          concurrency, pkg_meta=pkg_meta,
-                                         no_key=no_key)
+                                         no_key=no_key, batch_size=batch_size)
         # hive-partition the checkpoint by rec_type (partition-pruned
         # reads downstream); block count already bounded at the read
         records.write_parquet(records_dir, partition_cols=["rec_type"])

@@ -563,9 +563,7 @@ def doc_simhash(sf_dir: str) -> ray.data.Dataset:
         for text in texts:
             acc = np.zeros(64, dtype=np.int64)
             for w in set(_words(_sql_lower(text))):
-                h = np.uint64(
-                    int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
-                )
+                h = np.uint64(_md5_64(w))
                 bits = (h >> bit_idx) & np.uint64(1)
                 acc += np.where(bits == np.uint64(1), 1, -1)
             val = 0
@@ -593,11 +591,17 @@ def doc_ngram_jaccard(sf_dir: str, threshold: float = 0.5) -> ray.data.Dataset:
     """Exact word-3-gram Jaccard ≥ threshold pairs within source groups,
     sub-blocked by shingle-count band so one hot source is never O(n²):
     J(A,B) ≥ t ⇒ |A|/|B| ∈ [t, 1/t], so with log₂ size bands a
-    qualifying pair sits in the same or adjacent band. Each doc lands in
-    buckets (band, band+1); a pair is emitted only where
-    max(band_a, band_b) == bucket band — every qualifying pair exactly
-    once, all-pairs cost bounded per (source, band)."""
+    qualifying pair's bands differ by at most D = ceil(log2(1/t)).
+    Each doc lands in buckets (band .. band+D); a pair is emitted only
+    where max(band_a, band_b) == bucket band — every qualifying pair
+    exactly once, all-pairs cost bounded per (source, band). D=1 at the
+    default t=0.5; smaller thresholds widen the span instead of
+    silently dropping cross-band pairs."""
     import math
+
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError("threshold must be in (0, 1]")
+    span = max(0, math.ceil(math.log2(1.0 / threshold)))
 
     def to_bands(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_pylist()
@@ -608,7 +612,7 @@ def doc_ngram_jaccard(sf_dir: str, threshold: float = 0.5) -> ray.data.Dataset:
             sh = _shingles(text)
             band = int(math.log2(len(sh))) if sh else -1
             blob = np.fromiter(sorted(sh), dtype=np.uint64).tobytes()
-            for bucket in (band, band + 1):
+            for bucket in range(band, band + span + 1):
                 o_id.append(doc_id)
                 o_src.append(src)
                 o_band.append(band)
@@ -1302,8 +1306,11 @@ def events_hopping(
     15min — each event lands in window_sec/hop_sec = 4 windows. The
     map-side explode assigns each event its window starts (pure
     arithmetic, no state), partials collapse per block, then one small
-    bucketed merge: the streaming-window shape expressed batch-first."""
-    k = window_sec // hop_sec
+    bucketed merge: the streaming-window shape expressed batch-first.
+    Membership is w <= t < w + window over hop-aligned w — exact for
+    any window/hop ratio (an event sits in ceil(window/hop) or one
+    fewer windows when hop does not divide window)."""
+    k = -(-window_sec // hop_sec)  # ceil
 
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
@@ -1314,6 +1321,9 @@ def events_hopping(
         for i in range(k):
             w = df[["user_id", "value_milli"]].copy()
             w["window_start"] = base - i * hop_sec
+            # trailing window may no longer cover the event when
+            # hop does not divide window
+            w = w[w["window_start"] > df["sec"] - window_sec]
             frames.append(w)
         exploded = pd.concat(frames, ignore_index=True)
         g = exploded.groupby(["user_id", "window_start"], as_index=False).agg(
@@ -1458,12 +1468,17 @@ def top_orders(
     (o_orderkey, orderdate_sec, o_orderpriority, revenue_cents)."""
     cut = pd.Timestamp(cutoff)
 
+    def seg_filter(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.equal(batch["c_mktsegment"], segment))
+
     seg_keys = set(
         ray.data.read_parquet(
             f"{sf_dir}/customer.parquet",
             columns=["c_custkey", "c_mktsegment"],
         )
-        .filter(expr=f"c_mktsegment == '{segment}'")
+        .map_batches(seg_filter, batch_format="pyarrow")
         .to_pandas()["c_custkey"]
     )
     ref = ray.put(seg_keys)

@@ -127,11 +127,15 @@ def build_graph_incremental(
     concurrency=None,
     mode: str = "broadcast",
     packages_path: str | None = None,
+    no_key: bool = False,
+    batch_size: int = 64,
 ) -> dict:
     """Rebuild against a prior run: extract only changed files.
 
-    ``packages_path`` must match the full run's — the incremental==full
-    contract includes the URL side-table lookups of re-extracted files.
+    ``packages_path`` and ``no_key`` must match the full run's — the
+    incremental==full contract includes the URL side-table lookups and
+    the key scheme of re-extracted files (a mixed-key graph would stop
+    linking carried and re-extracted symbols).
     """
     pkg_meta = None
     if packages_path is not None:
@@ -165,7 +169,8 @@ def build_graph_incremental(
     # with the delta; the skim is the cheap declaration pass.
     indices = build_type_index(corpus)
     new_records = extract_records(delta, indices, min_accessibility,
-                                  concurrency=concurrency, pkg_meta=pkg_meta)
+                                  concurrency=concurrency, pkg_meta=pkg_meta,
+                                  no_key=no_key, batch_size=batch_size)
 
     def drop_stale(batch: pa.Table) -> pa.Table:
         from codetoneo4j_ray.stages.link import _cached_get
@@ -188,7 +193,8 @@ def build_graph_incremental(
     )
 
     _stub_fsspec_http()
-    outputs = graph_from_records(records_dir=records_dir, mode=mode)
+    outputs = graph_from_records(records_dir=records_dir, mode=mode,
+                                 no_key=no_key)
     metrics: dict = {
         "changed_files": len(changed),
         "deleted_files": len(deleted),

@@ -102,7 +102,9 @@ def ensure_commits(sf_dir: str) -> str:
     path = os.path.join(out_dir, "commits.parquet")
     stamp_path = os.path.join(out_dir, "commits.meta")
     n_repos, filler = _scale(sf_from_dir(sf_dir))
-    stamp = f"cv1:{n_repos}:{filler}:42"
+    # the corpus generator version is part of the stamp: regenerated
+    # corpora change file paths, and commits.changed_paths must follow
+    stamp = f"cv1:g{_GENERATOR_VERSION}:{n_repos}:{filler}:42"
     current = None
     if os.path.exists(stamp_path):
         with open(stamp_path) as f:

@@ -642,3 +642,37 @@ def test_text_oracles_adversarial_whitespace(tmp_path):
         assert ray_df.astype(str).equals(ora_df.astype(str)), (
             name, ray_df, ora_df
         )
+
+
+def test_events_hopping_non_divisible_hop(tmp_path):
+    """window=3600, hop=1400: membership must follow w <= t < w+window
+    exactly (the naive k = window//hop explode misses/overshoots)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from codetoneo4j_ray.pipelines.data_ops import events_hopping
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    secs = [0, 1399, 1400, 2800, 3000, 4199, 4200]
+    pq.write_table(
+        pa.table({
+            "event_id": pa.array(range(len(secs)), pa.int64()),
+            "user_id": pa.array([1] * len(secs), pa.int64()),
+            "ts": pa.array([base + np.timedelta64(s, "s") for s in secs],
+                           pa.timestamp("us")),
+            "value": pa.array([1.0] * len(secs), pa.float64()),
+        }),
+        str(tmp_path / "events.parquet"),
+    )
+    df = events_hopping(str(tmp_path), window_sec=3600, hop_sec=1400).to_pandas()
+    got = {(r.window_start): r.n_events for r in df.itertuples()}
+    epoch0 = 1704067200  # 2024-01-01T00:00:00Z
+    want = {}
+    for t0 in secs:
+        t = epoch0 + t0
+        w = (t // 1400) * 1400
+        while w > t - 3600:
+            want[w] = want.get(w, 0) + 1
+            w -= 1400
+    assert got == want

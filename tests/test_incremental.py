@@ -124,3 +124,30 @@ def test_incremental_cross_file_reference(ray_session, tmp_path):
     assert ("r1:App.B.Run2()", "r1:Lib.Helper.Go()") in set(
         zip(inv["subj"], inv["obj"])
     )
+
+
+def test_incremental_no_key_equals_full(ray_session, tmp_path):
+    """--no-key must thread into incremental re-extraction: a mixed-key
+    graph (prior no-key records + repo-prefixed delta records) would
+    stop carried and re-extracted symbols from merging."""
+    import ray.data as rd
+
+    from codetoneo4j_ray.pipelines.build_graph import build_graph
+    from codetoneo4j_ray.pipelines.incremental import build_graph_incremental
+
+    p1, p2 = str(tmp_path / "v1.parquet"), str(tmp_path / "v2.parquet")
+    pq.write_table(_corpus(V1), p1)
+    pq.write_table(_corpus(V2), p2)
+    out1 = str(tmp_path / "out1")
+    out2 = str(tmp_path / "out2")
+    out_full = str(tmp_path / "out_full")
+    build_graph(p1, out1, no_key=True)
+    build_graph_incremental(p2, out1, out2, no_key=True)
+    build_graph(p2, out_full, no_key=True)
+    for n in ("nodes", "edges", "files"):
+        a = rd.read_parquet(f"{out2}/{n}").to_pandas().reset_index(drop=True)
+        b = (rd.read_parquet(f"{out_full}/{n}").to_pandas()
+             .reset_index(drop=True))
+        assert a.equals(b), f"{n} differs"
+    keys = set(rd.read_parquet(f"{out2}/nodes").to_pandas()["key"])
+    assert ":N.B.New()" in keys and "r1:N.B.New()" not in keys
