@@ -94,6 +94,17 @@ def parse_member_types(blob: str | None) -> dict:
 
 
 def build_repo_index(type_rows: list[dict], using_rows: list[dict]) -> RepoTypeIndex:
+    # deterministic fragment order: the partial-class merge and the
+    # first-matching-using resolution must not depend on input order
+    type_rows = sorted(
+        type_rows,
+        key=lambda r: (r["full_name"], r["arity"],
+                       r.get("file_key") or "", r.get("members") or ""),
+    )
+    using_rows = sorted(
+        using_rows,
+        key=lambda r: (r.get("file_key") or "", r.get("text") or ""),
+    )
     idx = RepoTypeIndex()
     for r in type_rows:
         idx.add_type(

@@ -273,7 +273,24 @@ class RepoTypeIndex:
         self.global_usings: list[tuple[str, str]] = []     # (source file_key, namespace text)
 
     def add_type(self, info: TypeInfo) -> None:
-        self.types.setdefault((info.full_name, info.arity), info)
+        key = (info.full_name, info.arity)
+        existing = self.types.get(key)
+        if existing is None:
+            self.types[key] = info
+        else:
+            # partial declarations merge into ONE symbol (Roslyn
+            # semantics): the member map and base list are the union of
+            # all fragments. First fragment wins per member name; callers
+            # feed fragments in a deterministically sorted order, so the
+            # merge result never depends on shuffle arrival order.
+            for name, text in info.member_types.items():
+                existing.member_types.setdefault(name, text)
+            if info.bases:
+                existing.bases = tuple(
+                    dict.fromkeys(existing.bases + info.bases)
+                )
+            if not existing.type_params and info.type_params:
+                existing.type_params = info.type_params
         ns = info.full_name.rsplit(".", 1)[0] if "." in info.full_name else ""
         while ns:
             self.namespaces.add(ns)

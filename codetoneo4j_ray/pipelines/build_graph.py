@@ -16,6 +16,7 @@ full-index run (``SolutionProcessor.ProcessSolution``, SURVEY §3.1).
 
 from __future__ import annotations
 
+import pyarrow as pa
 import ray.data
 
 from codetoneo4j_ray.extractors.accessibility import DEFAULT_MIN_ACCESSIBILITY
@@ -76,6 +77,42 @@ def read_records(records_dir: str, rec_type: str | None = None) -> ray.data.Data
     return ray.data.read_parquet(f"{records_dir}/rec_type={rec_type}")
 
 
+def _structural_input(records_dir, symbols, files):
+    """symbol ∪ file ∪ url partitions, re-tagged with the hive column
+    (partition-dir reads drop it) — the mention bulk never gets read."""
+    import functools
+    import os
+
+    def tag(batch: pa.Table, rt: str) -> pa.Table:
+        # partition-dir reads usually drop the hive column, but some
+        # writers keep it — only add when absent
+        if "rec_type" in batch.column_names:
+            return batch
+        return batch.append_column(
+            "rec_type", pa.array([rt] * batch.num_rows, pa.string())
+        )
+
+    parts = [
+        symbols.map_batches(functools.partial(tag, rt="symbol"),
+                            batch_format="pyarrow"),
+        files.map_batches(functools.partial(tag, rt="file"),
+                          batch_format="pyarrow"),
+    ]
+    url_dir = f"{records_dir}/rec_type=url"
+    if os.path.isdir(url_dir) and any(
+        f.endswith(".parquet") for f in os.listdir(url_dir)
+    ):
+        parts.append(
+            read_records(records_dir, "url").map_batches(
+                functools.partial(tag, rt="url"), batch_format="pyarrow"
+            )
+        )
+    ds = parts[0]
+    for p in parts[1:]:
+        ds = ds.union(p)
+    return ds
+
+
 def graph_from_records(
     records: ray.data.Dataset | None = None,
     records_dir: str | None = None,
@@ -98,10 +135,12 @@ def graph_from_records(
     mention_cols = ["subj", "pred", "obj", "repo", "ctx_kind", "ctx_name",
                     "ctx_receiver", "ctx_argc"]
     if records_dir is not None:
-        records = read_records(records_dir)  # structural edges need all types
         symbols = read_records(records_dir, "symbol")
         files = read_records(records_dir, "file")
         raw_mentions = read_records(records_dir, "mention")
+        # structural edges derive only from symbol/file/url rows — skip
+        # the mention partition (the bulk of the checkpoint) entirely
+        records = _structural_input(records_dir, symbols, files)
     else:
         symbols = records.filter(expr="rec_type == 'symbol'")
         files = records.filter(expr="rec_type == 'file'")
@@ -167,8 +206,15 @@ def build_graph(
     batch_size: int = 64,
 ) -> dict:
     """Full run with a records checkpoint; returns metrics."""
-    config = {"min_accessibility": min_accessibility, "v": 2,
-              "packages": packages_path, "no_key": no_key}
+    pkg_stat = None
+    if packages_path is not None:
+        import os
+
+        st = os.stat(packages_path)
+        pkg_stat = f"{st.st_size}:{st.st_mtime_ns}"
+    config = {"min_accessibility": min_accessibility, "v": 3,
+              "packages": packages_path, "packages_stat": pkg_stat,
+              "no_key": no_key}
     fp = corpus_fingerprint(input_path, config)
     records_dir = f"{out_dir}/records"
 

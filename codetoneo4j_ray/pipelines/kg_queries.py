@@ -41,7 +41,7 @@ from codetoneo4j_ray.stages.materialize import (
 )
 from codetoneo4j_ray.state.manifest import corpus_fingerprint, stage_is_complete, write_manifest
 
-_KG_CONFIG = {"min_accessibility": "Private", "kg_cache_v": 12}
+_KG_CONFIG = {"min_accessibility": "Private", "kg_cache_v": 13}
 
 
 def kg_paths(sf_dir: str) -> dict[str, str]:
@@ -154,9 +154,7 @@ def q_kg_files(sf_dir: str) -> ray.data.Dataset:
 def q_kg_symbol_kinds(sf_dir: str) -> ray.data.Dataset:
     """Node count per (language, kind) after dedup — aggregate sanity."""
     paths = ensure_kg(sf_dir)
-    symbols = ray.data.read_parquet(paths["records"]).filter(
-        expr="rec_type == 'symbol'"
-    )
+    symbols = read_records(paths["records"], "symbol")
     import pandas as pd
 
     from codetoneo4j_ray.stages.bucketing import bucketed_apply
@@ -179,10 +177,6 @@ def q_kg_pred_counts(sf_dir: str) -> ray.data.Dataset:
     from codetoneo4j_ray.stages.bucketing import bucketed_apply
 
     edges = q_kg_edges(sf_dir)
-
-    def count(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("pred", as_index=False).size()
-        return g.rename(columns={"size": "n"})
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby("pred", as_index=False).agg(n=("n", "sum"))
@@ -268,6 +262,35 @@ def oracle_kg(sf_dir: str) -> dict[str, str]:
         + "')"
     )
 
+    edges_cte = f"""
+        sym AS (SELECT * FROM {records} WHERE rec_type = 'symbol'),
+        keys AS (SELECT DISTINCT key FROM sym),
+        men AS (
+            SELECT subj, pred, obj FROM {mentions}
+            WHERE pred NOT IN ('{MEMBER_PRED}', '{BASE_PRED}')
+        ),
+        all_edges AS (
+            SELECT m.subj, m.pred, m.obj
+            FROM men m
+            JOIN keys k1 ON m.subj = k1.key
+            JOIN keys k2 ON m.obj = k2.key
+            UNION ALL
+            SELECT file_key, 'src__DECLARES', key FROM sym
+            UNION ALL
+            SELECT lower(repo), 'src__HAS_FILE', key
+            FROM {records} WHERE rec_type = 'file'
+            UNION ALL
+            SELECT s.key, 'src__HAS_TAG', t.tag
+            FROM sym s JOIN {tags_map} t ON s.namespace = t.namespace
+            UNION ALL
+            SELECT lower(repo), 'src__DEPENDS_ON', key
+            FROM sym WHERE kind = 'Dependency'
+            UNION ALL
+            SELECT dep_key, 'src__HAS_URL', url_key
+            FROM {records} WHERE rec_type = 'url'
+        )
+    """
+
     nodes_dedup = f"""
         SELECT * FROM (
             SELECT key, name, kind, "class", fqn, accessibility, file_key,
@@ -290,32 +313,7 @@ def oracle_kg(sf_dir: str) -> dict[str, str]:
             FROM ({nodes_dedup}) ORDER BY key
         """,
         "kg_edges": f"""
-            WITH sym AS (SELECT * FROM {records} WHERE rec_type = 'symbol'),
-            keys AS (SELECT DISTINCT key FROM sym),
-            men AS (
-                SELECT subj, pred, obj FROM {mentions}
-                WHERE pred NOT IN ('{MEMBER_PRED}', '{BASE_PRED}')
-            ),
-            all_edges AS (
-                SELECT m.subj, m.pred, m.obj
-                FROM men m
-                JOIN keys k1 ON m.subj = k1.key
-                JOIN keys k2 ON m.obj = k2.key
-                UNION ALL
-                SELECT file_key, 'src__DECLARES', key FROM sym
-                UNION ALL
-                SELECT lower(repo), 'src__HAS_FILE', key
-                FROM {records} WHERE rec_type = 'file'
-                UNION ALL
-                SELECT s.key, 'src__HAS_TAG', t.tag
-                FROM sym s JOIN {tags_map} t ON s.namespace = t.namespace
-                UNION ALL
-                SELECT lower(repo), 'src__DEPENDS_ON', key
-                FROM sym WHERE kind = 'Dependency'
-                UNION ALL
-                SELECT dep_key, 'src__HAS_URL', url_key
-                FROM {records} WHERE rec_type = 'url'
-            )
+            WITH {edges_cte}
             SELECT DISTINCT subj, pred, obj FROM all_edges
             ORDER BY subj, pred, obj
         """,
@@ -392,32 +390,7 @@ def oracle_kg(sf_dir: str) -> dict[str, str]:
             GROUP BY language, kind ORDER BY language, kind
         """,
         "kg_degree_topk": f"""
-            WITH sym AS (SELECT * FROM {records} WHERE rec_type = 'symbol'),
-            keys AS (SELECT DISTINCT key FROM sym),
-            men AS (
-                SELECT subj, pred, obj FROM {mentions}
-                WHERE pred NOT IN ('{MEMBER_PRED}', '{BASE_PRED}')
-            ),
-            all_edges AS (
-                SELECT m.subj, m.pred, m.obj
-                FROM men m
-                JOIN keys k1 ON m.subj = k1.key
-                JOIN keys k2 ON m.obj = k2.key
-                UNION ALL
-                SELECT file_key, 'src__DECLARES', key FROM sym
-                UNION ALL
-                SELECT lower(repo), 'src__HAS_FILE', key
-                FROM {records} WHERE rec_type = 'file'
-                UNION ALL
-                SELECT s.key, 'src__HAS_TAG', t.tag
-                FROM sym s JOIN {tags_map} t ON s.namespace = t.namespace
-                UNION ALL
-                SELECT lower(repo), 'src__DEPENDS_ON', key
-                FROM sym WHERE kind = 'Dependency'
-                UNION ALL
-                SELECT dep_key, 'src__HAS_URL', url_key
-                FROM {records} WHERE rec_type = 'url'
-            ),
+            WITH {edges_cte},
             deg AS (
                 SELECT subj, count(*) AS n
                 FROM (SELECT DISTINCT subj, pred, obj FROM all_edges)
@@ -428,35 +401,10 @@ def oracle_kg(sf_dir: str) -> dict[str, str]:
                     ORDER BY n DESC, subj
                 ) AS rn FROM deg
             )
-            SELECT subj, n FROM ranked WHERE rn <= 20 ORDER BY subj
+            SELECT subj, n FROM ranked WHERE rn <= {DEGREE_TOPK_K} ORDER BY subj
         """,
         "kg_pred_counts": f"""
-            WITH sym AS (SELECT * FROM {records} WHERE rec_type = 'symbol'),
-            keys AS (SELECT DISTINCT key FROM sym),
-            men AS (
-                SELECT subj, pred, obj FROM {mentions}
-                WHERE pred NOT IN ('{MEMBER_PRED}', '{BASE_PRED}')
-            ),
-            all_edges AS (
-                SELECT m.subj, m.pred, m.obj
-                FROM men m
-                JOIN keys k1 ON m.subj = k1.key
-                JOIN keys k2 ON m.obj = k2.key
-                UNION ALL
-                SELECT file_key, 'src__DECLARES', key FROM sym
-                UNION ALL
-                SELECT lower(repo), 'src__HAS_FILE', key
-                FROM {records} WHERE rec_type = 'file'
-                UNION ALL
-                SELECT s.key, 'src__HAS_TAG', t.tag
-                FROM sym s JOIN {tags_map} t ON s.namespace = t.namespace
-                UNION ALL
-                SELECT lower(repo), 'src__DEPENDS_ON', key
-                FROM sym WHERE kind = 'Dependency'
-                UNION ALL
-                SELECT dep_key, 'src__HAS_URL', url_key
-                FROM {records} WHERE rec_type = 'url'
-            )
+            WITH {edges_cte}
             SELECT pred, count(*) AS n
             FROM (SELECT DISTINCT subj, pred, obj FROM all_edges)
             GROUP BY pred ORDER BY pred
@@ -464,7 +412,10 @@ def oracle_kg(sf_dir: str) -> dict[str, str]:
     }
 
 
-def q_kg_degree_topk(sf_dir: str, k: int = 20) -> ray.data.Dataset:
+DEGREE_TOPK_K = 20
+
+
+def q_kg_degree_topk(sf_dir: str, k: int = DEGREE_TOPK_K) -> ray.data.Dataset:
     """Top-k node keys by out-degree over the FINAL edge table — the
     graph-analytics heavy-hitter a KG consumer runs first. Same partial/
     merge/global-top-k pattern as top_tokens: per-batch counts, bucketed

@@ -45,10 +45,29 @@ def extract_partitioned(
     concurrency=None,
 ) -> dict:
     """Stage 1 with per-partition checkpoints; returns per-partition metrics."""
-    config = {"min_accessibility": min_accessibility, "p": num_partitions, "v": 1}
+    config = {"min_accessibility": min_accessibility, "p": num_partitions, "v": 2}
     fp = corpus_fingerprint(input_path, config)
     records_root = f"{out_dir}/records"
     results: dict[str, dict] = {}
+
+    # purge partition dirs outside the current range: a rerun with a
+    # smaller num_partitions would otherwise leave stale part dirs that
+    # records_dataset() silently includes, duplicating every record
+    import os as _os
+    import re as _re
+    import shutil as _shutil
+
+    if _os.path.isdir(records_root):
+        for name in _os.listdir(records_root):
+            m = _re.fullmatch(r"part-(\d{5})", name)
+            if m and int(m.group(1)) >= num_partitions:
+                _shutil.rmtree(_os.path.join(records_root, name),
+                               ignore_errors=True)
+                stale = _os.path.join(
+                    out_dir, f"records-{name}.manifest.json"
+                )
+                if _os.path.exists(stale):
+                    _os.remove(stale)
 
     for i in range(num_partitions):
         part = f"part-{i:05d}"

@@ -111,31 +111,3 @@ def dedup_nodes(symbols: ray.data.Dataset) -> ray.data.Dataset:
     return bucketed_apply(
         combined, ["key"], lambda df: _winner_last(df, "key", _TIEBREAK)
     )
-
-
-def distinct_triples(edges: ray.data.Dataset) -> ray.data.Dataset:
-    """Distinct (subj, pred, obj): map-side combine + bucketed distinct."""
-
-    def local(batch: pa.Table) -> pa.Table:
-        df = batch.select(["subj", "pred", "obj"]).to_pandas().drop_duplicates()
-        return pa.Table.from_pandas(df, preserve_index=False)
-
-    return bucketed_apply(
-        edges.map_batches(local, batch_format="pyarrow"),
-        ["subj", "pred", "obj"],
-        lambda df: df.drop_duplicates(),
-    )
-
-
-def dedup_files(files: ray.data.Dataset) -> ray.data.Dataset:
-    """One row per file key (MERGE (f:src__File {key}) — UpsertFile.cypher:2)."""
-
-    def local(batch: pa.Table) -> pa.Table:
-        df = _winner_last(batch.to_pandas(), "key", _FILE_TIEBREAK)
-        return pa.Table.from_pandas(df, preserve_index=False, schema=batch.schema)
-
-    return bucketed_apply(
-        files.map_batches(local, batch_format="pyarrow"),
-        ["key"],
-        lambda df: _winner_last(df, "key", _FILE_TIEBREAK),
-    )

@@ -139,6 +139,12 @@ def build_type_index(corpus: ray.data.Dataset) -> dict[str, RepoTypeIndex]:
     # the pipeline-wide key); the driver only unpickles one blob per repo
     def assemble(df: pd.DataFrame) -> pd.DataFrame:
         repos, blobs = [], []
+        # deterministic fragment/using order regardless of shuffle
+        # arrival (partial-class merge + first-matching-using resolution)
+        df = df.sort_values(
+            ["repo", "rec_type", "full_name", "arity", "file_key", "text"],
+            kind="stable",
+        )
         for repo, g in df.groupby("repo", sort=False):
             idx = RepoTypeIndex()
             tmask = (g["rec_type"] == "type").to_numpy()
@@ -207,7 +213,6 @@ class ExtractRecords:
             )
             if ctx is None:
                 continue
-            base = {"repo": repo, "path": path}
             for s in ctx.symbols:
                 s["rec_type"] = "symbol"
                 rows.append(s)
@@ -234,10 +239,8 @@ class ExtractRecords:
                     "technology": ctx.technology,
                     "repo": repo,
                     "commit": commit,
-                    **{},
                 }
             )
-            del base
         cols = {}
         for fld in RECORD_SCHEMA:
             cols[fld.name] = pa.array(
@@ -327,7 +330,10 @@ def extract_records_partitioned(
     def extract_bucket(df: pd.DataFrame) -> pd.DataFrame:
         meta = ray.get(pkg_ref) if pkg_ref is not None else None
         indices: dict[str, RepoTypeIndex] = {}
-        idx_part = df[df["__side"] == "i"]
+        idx_part = df[df["__side"] == "i"].sort_values(
+            ["repo", "rec_type", "full_name", "arity", "file_key", "text"],
+            kind="stable",
+        )
         for repo, g in idx_part.groupby("repo", sort=False):
             idx = indices[repo] = RepoTypeIndex()
             for row in g.itertuples(index=False):

@@ -546,3 +546,24 @@ public class C
     deps = mentions(ctx, "src__DEPENDS_ON")
     # event type dep emitted per declarator (System.EventHandler resolved)
     assert ("repo:N.C", "src__DEPENDS_ON", "repo:System.EventHandler") in deps
+
+
+def test_partial_fragment_merge_order_independent():
+    # reversed fragment order: the method-bearing fragment arrives first,
+    # the field-bearing fragment second — the pass-A index must MERGE
+    # partial declarations (Roslyn semantics), not keep the first one
+    out = run({
+        "src/Svc.cs": "namespace N;\npublic class Svc { public void Ping() { } }",
+        # zz_ prefix also defeats the deterministic file_key sort
+        "src/A_Methods.cs": """namespace N;
+public partial class P
+{
+    public void Go() { _other.Hint(); }
+}
+""",
+        "src/zz_Fields.cs": "namespace N;\npublic partial class P { private Svc _other; }",
+    })
+    inv = {(m["ctx_receiver"], m["ctx_name"])
+           for m in out["src/A_Methods.cs"].mentions
+           if m["pred"] == "src__INVOKES"}
+    assert ("N.Svc", "Hint") in inv
