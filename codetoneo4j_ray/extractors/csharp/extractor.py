@@ -347,9 +347,8 @@ class _Emitter:
 
     # -- enum members (RoslynSymbolProcessor.cs:152-175) ----------
     def _emit_enum_member(self, decl, m: CsMember, type_key: str, type_display: str) -> None:
-        # enum members are Public (NotApplicable per Roslyn? → Public)
-        if not (acc.PUBLIC >= self.min_lv or True):
-            return
+        # enum members are always emitted: Roslyn reports them as Public
+        # and the AccessibilityFilter never gates Public members
         mkey = f"{self.ctx.repo_key}:{type_display}.{m.name}"
         self.ctx.add_symbol(
             mkey, m.name, "Field", m.name, m.name,

@@ -319,11 +319,11 @@ class _Parser:
                 if not self.accept(","):
                     break
         while self.val() == "where":
+            # step past 'where' BEFORE skipping, or skip_to returns
+            # immediately (cursor already on a stop token) and the
+            # constraint tokens leak into the body parse
+            self.advance()
             self.skip_to("{", ";", "where")
-            if self.val() == "where":
-                self.advance()
-            else:
-                break
         self.types.append(decl)
         if kind == "enum":
             self.parse_enum_body(decl)
@@ -559,7 +559,7 @@ class _Parser:
         # field declarator list
         names = [(name, start_tok.line)]
         if self.accept("="):
-            self.skip_to(",", ";")
+            self.skip_initializer()
         while self.accept(","):
             nt = self.tok()
             if nt is None or nt.kind != "id":
@@ -567,7 +567,7 @@ class _Parser:
             self.advance()
             names.append((nt.value.lstrip("@"), nt.line))
             if self.accept("="):
-                self.skip_to(",", ";")
+                self.skip_initializer()
         end_t = self.tok()
         end_line = end_t.line if end_t else start_tok.line
         self.accept(";")
@@ -580,6 +580,48 @@ class _Parser:
                          fline, fline, doc if idx == 0 else None,
                          comments if idx == 0 else None, None)
             )
+        return None
+
+    def skip_initializer(self) -> None:
+        """skip_to(',', ';') that also jumps validated '<...>' generic
+        argument lists — the comma inside 'new Dictionary<string, int>()'
+        must not end the field declarator. A '<' that cannot be matched
+        as a generic list (i.e. a comparison operator) is treated as an
+        ordinary token, so 'x = a < b ? 1 : 2' still stops at ';'."""
+        depth = 0
+        while not self.at_end():
+            v = self.val()
+            if depth == 0 and v in (",", ";"):
+                return
+            if v == "<":
+                j = self._match_generic(self.i)
+                if j is not None:
+                    self.i = j + 1
+                    continue
+            if v in "([{":
+                depth += 1
+            elif v in ")]}":
+                depth = max(0, depth - 1)
+            self.i += 1
+
+    def _match_generic(self, i: int, limit: int = 64) -> int | None:
+        """Index of the '>' closing a generic argument list opening at
+        ``i``, or None if the span does not look like one (only type-ish
+        tokens allowed inside; bounded lookahead)."""
+        depth = 0
+        j = i
+        while j < len(self.code) and j - i <= limit:
+            t = self.code[j]
+            v = t.value
+            if v == "<":
+                depth += 1
+            elif v == ">":
+                depth -= 1
+                if depth == 0:
+                    return j
+            elif t.kind != "id" and v not in (",", ".", "[", "]", "?", "::"):
+                return None
+            j += 1
         return None
 
     def val_is_generic_then(self, follow: tuple[str, ...]) -> bool:
@@ -642,11 +684,8 @@ class _Parser:
 
     def _skip_constraints(self) -> None:
         while self.val() == "where":
+            self.advance()  # past 'where' first — see parse_type_decl
             self.skip_to("{", ";", "=>", "where")
-            if self.val() == "where":
-                self.advance()
-            else:
-                return
 
     def _member_tail(self) -> tuple[tuple[int, int] | None, int]:
         """Method-ish tail: '{...}' | '=> expr ;' | ';'. Returns (body span, end line)."""

@@ -366,8 +366,8 @@ class Resolver:
             for ns_b, isval, arities in BCL_TYPES.get(first, []):
                 if arity in arities and (
                     ns_b in scope.usings
-                    or ns_b == "System" and "System" in scope.usings
-                    or scope.namespace.startswith(ns_b)
+                    or scope.namespace == ns_b
+                    or scope.namespace.startswith(ns_b + ".")
                 ):
                     return self._bcl(ns_b, first, arity, isval)
             # implicit System for ubiquitous types even without usings?  No —

@@ -259,7 +259,8 @@ class _DartScanner:
         t = self.toks[i]
         j = i
         # optional return type: Ident (possibly generic / nullable)
-        if self.k(j) == "id" and self.k(j + 1) == "id":
+        if (self.k(j) == "id" and self.k(j + 1) == "id"
+                and self.v(j) not in ("get", "set")):
             j2 = j + 1
         elif self.k(j) == "id" and self.v(j + 1) == "<":
             close_t = self._bal(j + 1, "<", ">")
@@ -405,7 +406,10 @@ class _DartScanner:
                 self._scan_calls(after, close, class_name, class_kind)
                 i = close + 1
                 continue
-            if jj > mods_end and self.v(after) in ("=", ";", ","):
+            # a consumed declaration modifier (final/const/late/...)
+            # already proves this is a field even without an explicit
+            # type — idiomatic Dart writes `final x = 1;`
+            if (jj > mods_end or mods_end > i) and self.v(after) in ("=", ";", ","):
                 # field declarator(s)
                 self._emit(name, "Field", "field", self._fqn(name, class_name),
                            t.line, t.line, self._accessibility(name, anns), doc,
@@ -426,12 +430,13 @@ class _DartScanner:
             if self.k(i) == "id" and self.v(i + 1) == "(":
                 v = self.toks[i].value
                 if v not in _NOT_CALLS and not v.startswith("@"):
-                    prev = self.v(i - 1)
-                    if prev != "." or True:
-                        to_kind = "constructor" if v[:1].isupper() else "method"
-                        sig = (v, to_kind, self.toks[i].line)
-                        if sig not in seen:
-                            seen.add(sig)
-                            self._rel(from_kind, from_name, self.toks[i].line,
-                                      to_kind, v, INVOKES)
+                    # dotted receiver calls emit too — the reference
+                    # visitor records MethodInvocation regardless of
+                    # target (ast_visitor.dart:430-485)
+                    to_kind = "constructor" if v[:1].isupper() else "method"
+                    sig = (v, to_kind, self.toks[i].line)
+                    if sig not in seen:
+                        seen.add(sig)
+                        self._rel(from_kind, from_name, self.toks[i].line,
+                                  to_kind, v, INVOKES)
             i += 1

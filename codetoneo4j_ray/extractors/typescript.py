@@ -403,11 +403,26 @@ class _Scanner:
         t = self.toks[j]
         jj = j + 1
         spec = None
-        while jj < len(self.toks) and self.v(jj) != ";":
-            if self.k(jj) == "str":
-                spec = self.toks[jj].value.strip("'\"")
-            if self.toks[jj].line > t.line + 3:
+        depth = 0
+        while jj < len(self.toks):
+            v = self.v(jj)
+            if v == ";":
                 break
+            # ASI (no-semicolon style): once the module spec string has
+            # been seen and we are outside any braces, a token on a NEW
+            # line belongs to the next statement — do not consume it
+            if (spec is not None and depth == 0
+                    and self.toks[jj].line > self.toks[jj - 1].line):
+                jj -= 1
+                break
+            if v == "{":
+                depth += 1
+            elif v == "}":
+                depth = max(0, depth - 1)
+            # the lexer tags double-quoted strings 'str' and
+            # single-quoted ones 'char' — imports use both styles
+            if self.k(jj) in ("str", "char") and spec is None:
+                spec = self.toks[jj].value.strip("'\"")
             jj += 1
         if spec:
             is_relative = spec.startswith(".") or spec.startswith("/")
@@ -501,9 +516,29 @@ class _Scanner:
                                       t.line, t.line, accessibility, doc, com)
                     self._emit_rel("class", class_name, t.line, "field", name,
                                    None, CONTAINS)
-                    while i < end and self.v(i) != ";" and not (
-                        self.toks[i].line > t.line
-                    ):
+                    # consume the whole (possibly multi-line, balanced)
+                    # initializer so object-literal keys are never
+                    # re-scanned as class members
+                    i = jj
+                    depth = 0
+                    while i < end:
+                        v = self.v(i)
+                        if depth == 0 and v == ";":
+                            break
+                        if v in ("(", "[", "{"):
+                            depth += 1
+                        elif v in (")", "]", "}"):
+                            if depth == 0:
+                                break  # class-body close — leave it
+                            depth -= 1
+                        if (depth == 0 and i + 1 < end
+                                and self.toks[i + 1].line > self.toks[i].line
+                                and self.v(i + 1) not in (
+                                    ".", "+", "-", "?", ":", "=>", "(",
+                                    "[", ",", "=",
+                                )):
+                            i += 1
+                            break
                         i += 1
                     continue
             i += 1

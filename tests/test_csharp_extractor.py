@@ -567,3 +567,43 @@ public partial class P
            for m in out["src/A_Methods.cs"].mentions
            if m["pred"] == "src__INVOKES"}
     assert ("N.Svc", "Hint") in inv
+
+
+def test_where_constraints_keep_members():
+    # a 'where' clause must not swallow the type body (or, on generic
+    # methods, the following member)
+    out = run({
+        "src/R.cs": """namespace N;
+public class Repo<T> where T : class
+{
+    public int Count { get; set; }
+    public void Add(T item) { Helper(item); }
+    public TResult Map<TResult>(int x) where TResult : new() { return Make(x); }
+    public void After() { }
+    void Helper(T item) { }
+    TResult Make<TResult>(int x) where TResult : new() { return default; }
+}
+""",
+    })
+    names = {s["name"] for s in out["src/R.cs"].symbols}
+    assert {"Count", "Add", "Map", "After", "Helper"} <= names
+    inv = {m["ctx_name"] for m in out["src/R.cs"].mentions
+           if m["pred"] == "src__INVOKES"}
+    assert {"Helper", "Make"} <= inv
+
+
+def test_generic_initializer_no_phantom_field():
+    out = run({
+        "src/F.cs": """namespace N;
+public class C
+{
+    private readonly System.Collections.Generic.Dictionary<string, int> _map
+        = new System.Collections.Generic.Dictionary<string, int>();
+    int threshold = a < b ? 1 : 2;
+    int other = 5;
+}
+""",
+    })
+    fields = [s["name"] for s in out["src/F.cs"].symbols
+              if s["kind"] == "Field"]
+    assert sorted(fields) == ["_map", "other", "threshold"]

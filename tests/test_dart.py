@@ -98,3 +98,21 @@ def test_min_accessibility_filter():
     names = {s["name"] for s in ctx.symbols}
     assert "_hidden" not in names and "_start" not in names
     assert "increment" in names
+
+
+def test_typeless_final_fields_and_top_accessors():
+    ctx = extract_file("myapp", "lib/src/extra.dart", """
+class C {
+  final x = 1;
+  final int y = 2;
+  static const z = 3;
+}
+set topSetter(int v) { }
+int get topGetter => 1;
+""", "Private")
+    fields = {s["name"] for s in ctx.symbols if s["kind"] == "DartField"}
+    assert {"x", "y", "z"} <= fields
+    props = {s["name"] for s in ctx.symbols if s["kind"] == "DartProperty"}
+    assert {"topSetter", "topGetter"} <= props
+    assert not any(s["kind"] == "DartFunction" and s["name"] == "topSetter"
+                   for s in ctx.symbols)

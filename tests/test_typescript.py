@@ -92,3 +92,26 @@ def test_javascript_kind_prefix():
                        "export function foo() { bar(); }", "Private")
     assert ctx.symbols[0]["kind"] == "JavaScriptFunction"
     assert ctx.language == "javascript"
+
+
+def test_no_semicolon_import_and_single_quotes():
+    # ASI style: single-quoted import without ';' must not swallow the
+    # next declaration, and the spec must still produce a DEPENDS_ON
+    ctx = run(content="import x from './util'\nexport class Foo {\n  bar() { }\n}\n")
+    names = {s["name"] for s in ctx.symbols}
+    assert {"Foo", "bar"} <= names
+    deps = [m["obj"] for m in ctx.mentions if m["pred"] == "src__DEPENDS_ON"]
+    assert any("util" in d for d in deps)
+
+
+def test_object_literal_field_no_phantom_members():
+    ctx = run(content=(
+        "export class C {\n"
+        "  config = {\n    retries: 3,\n    verbose: true\n  };\n"
+        "  handler = (x) => {\n    return x\n  }\n"
+        "  go() {}\n"
+        "}\n"
+    ))
+    names = [s["name"] for s in ctx.symbols]
+    assert "retries" not in names and "verbose" not in names
+    assert {"config", "handler", "go"} <= set(names)
