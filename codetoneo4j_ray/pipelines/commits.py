@@ -50,7 +50,8 @@ def _date_sec(col: pd.Series) -> pd.Series:
 def commit_nodes(commits: ray.data.Dataset) -> ray.data.Dataset:
     """One row per commit hash (MERGE (c:src__Commit {hash}) — last
     writer wins on props; hashes are globally unique so dedup is a
-    safety net, deterministic by (repo, author) tiebreak)."""
+    safety net, deterministic by full-column tiebreak)."""
+    _TIE = ["hash", "repo", "author", "email", "date_sec", "message"]
 
     def local(batch: pa.Table) -> pa.Table:
         df = batch.select(
@@ -58,16 +59,14 @@ def commit_nodes(commits: ray.data.Dataset) -> ray.data.Dataset:
         ).to_pandas()
         df["date_sec"] = _date_sec(df["date"])
         df = df.drop(columns="date")
-        df = df.sort_values(["hash", "repo", "author"], kind="stable",
-                            na_position="first")
+        df = df.sort_values(_TIE, kind="stable", na_position="first")
         return pa.Table.from_pandas(
             df.drop_duplicates(subset=["hash"], keep="last"),
             preserve_index=False,
         )
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["hash", "repo", "author"], kind="stable",
-                            na_position="first")
+        df = df.sort_values(_TIE, kind="stable", na_position="first")
         return df.drop_duplicates(subset=["hash"], keep="last")
 
     return (

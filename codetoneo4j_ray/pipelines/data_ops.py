@@ -751,9 +751,19 @@ def embedding_quantize(sf_dir: str) -> ray.data.Dataset:
 
 
 def ann_topk(sf_dir: str, n_queries: int = 8, k: int = 10) -> ray.data.Dataset:
-    """Brute-force cosine top-k: queries = embeddings of the first
-    n_queries vec_ids; numpy matmul per batch against the broadcast query
-    matrix (``ray.put`` once). Ties broken by vec_id ascending."""
+    """Brute-force cosine top-k against a broadcast query matrix.
+
+    Exactness note: sim_micro = floor(cosine * 1e6) is strict-oracle-
+    compared, but Ray (numpy blocked summation) and DuckDB
+    (list_cosine_similarity, sequential) compute the cosine with
+    different float64 orderings — a pair whose value lies within ~1 ULP
+    of an integer/1e6 boundary could floor differently. Probability
+    ~1e-10 per pair at 64 dims; accepted for this op (the sketch ops use
+    integer-exact constructions instead).
+
+    Queries = embeddings of the first n_queries vec_ids; numpy matmul
+    per batch against the broadcast query matrix (``ray.put`` once).
+    Ties broken by vec_id ascending."""
     q_ids, q = _query_vectors(sf_dir, n_queries)
     qn = q / np.linalg.norm(q, axis=1, keepdims=True)
     q_ref = ray.put((q_ids, qn))
@@ -998,7 +1008,6 @@ def embedding_kmeans(sf_dir: str, k: int = 8, iters: int = 10) -> ray.data.Datas
 # explicit whitespace class: RE2's \s is [ \t\n\f\r] but Python ASCII \s
 # also includes \x0b — spelling it out keeps both engines identical
 _TOKEN_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\f\r]"
-_PUNCT_PATTERN = r"[^.,!?;:]"
 
 _STOPWORDS = {
     "en": {"the", "and", "of", "to", "a", "in", "is", "that", "it", "for"},

@@ -17,6 +17,7 @@ over the merged record stream (metadata-sized).
 
 from __future__ import annotations
 
+import os
 import shutil
 
 import pyarrow as pa
@@ -137,6 +138,12 @@ def build_graph_incremental(
     the key scheme of re-extracted files (a mixed-key graph would stop
     linking carried and re-extracted symbols).
     """
+    if os.path.realpath(out_dir) == os.path.realpath(prior_out_dir):
+        raise ValueError(
+            "out_dir must differ from prior_out_dir: the carried-records "
+            "read is lazy, and rebuilding in place would delete the prior "
+            "checkpoint before it is read"
+        )
     pkg_meta = None
     if packages_path is not None:
         from codetoneo4j_ray.stages.extract import load_pkg_meta
@@ -205,6 +212,10 @@ def build_graph_incremental(
         shutil.rmtree(path, ignore_errors=True)
         outputs[name].write_parquet(path)
         metrics[name] = _parquet_rows(path)
-    fp = corpus_fingerprint(input_path, {"incremental": True})
+    fp = corpus_fingerprint(input_path, {
+        "incremental": True, "min_accessibility": min_accessibility,
+        "mode": mode, "packages": packages_path, "no_key": no_key,
+        "prior": os.path.realpath(prior_out_dir),
+    })
     write_manifest(out_dir, "graph", fp, metrics)
     return metrics

@@ -340,7 +340,9 @@ def oracle_kg(sf_dir: str) -> dict[str, str]:
                    CAST(floor(epoch(date)) AS BIGINT) AS date_sec, message
             FROM (
                 SELECT *, row_number() OVER (
-                    PARTITION BY hash ORDER BY repo DESC, author DESC
+                    PARTITION BY hash
+                    ORDER BY repo DESC, author DESC, email DESC,
+                             epoch(date) DESC, message DESC
                 ) AS rn FROM {commits}
             ) WHERE rn = 1 ORDER BY hash
         """,

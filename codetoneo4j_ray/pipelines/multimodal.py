@@ -92,17 +92,21 @@ def _decode_pool_size() -> tuple[int, int]:
     return (1, max(2, cpus))
 
 
-def media_decode_meta(sf_dir: str) -> ray.data.Dataset:
-    """documents → binary payloads → actor-pool decode → typed metadata.
+def _decoded(sf_dir: str) -> ray.data.Dataset:
+    """documents → binary payloads → actor-pool decode (shared by every
+    media query so batch sizing / pool bounds live in one place).
 
     batch_size kept small: with real media each row is MBs and a batch ×
     pool must fit in the worker heap."""
-    return (
-        media_from_documents(sf_dir)
-        .map_batches(MediaDecode, batch_format="pyarrow", batch_size=64,
-                     concurrency=_decode_pool_size())
-        .sort("media_id")
+    return media_from_documents(sf_dir).map_batches(
+        MediaDecode, batch_format="pyarrow", batch_size=64,
+        concurrency=_decode_pool_size(),
     )
+
+
+def media_decode_meta(sf_dir: str) -> ray.data.Dataset:
+    """documents → binary payloads → actor-pool decode → typed metadata."""
+    return _decoded(sf_dir).sort("media_id")
 
 def media_frame_sample(sf_dir: str, stride: int = 2) -> ray.data.Dataset:
     """Decode → frame-sample expansion: every ``stride``-th frame index
@@ -138,9 +142,7 @@ def media_frame_sample(sf_dir: str, stride: int = 2) -> ray.data.Dataset:
         )
 
     return (
-        media_from_documents(sf_dir)
-        .map_batches(MediaDecode, batch_format="pyarrow", batch_size=64,
-                     concurrency=_decode_pool_size())
+        _decoded(sf_dir)
         .map_batches(sample, batch_format="pyarrow")
         .sort(["media_id", "frame_idx"])
     )
