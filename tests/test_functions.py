@@ -113,3 +113,38 @@ def test_line_number():
     assert get_line_number("a\nb\nc", 2) == 2
     assert dirname("a/b/c.txt") == "a/b"
     assert dirname("c.txt") == ""
+
+
+def test_bucket_hash_is_pure_per_value():
+    """The bucket hash must be a pure function of the key VALUE — same
+    key in any block layout / surrounding array → same bucket. pandas'
+    hash_array(categorize=True) default violates this (chunk-dependent
+    results), which silently broke cross-block co-bucketing when the
+    vectorized hash landed; this pins the categorize=False fix."""
+    import random
+
+    import numpy as np
+    import pyarrow as pa
+
+    from codetoneo4j_ray.stages.bucketing import _hash_bucket, _key_strings
+
+    random.seed(7)
+    strs = [
+        "%d\x00%s" % (i % 16, ",".join(str(random.getrandbits(60)) for _ in range(4)))
+        for i in range(4000)
+    ]
+    whole = _hash_bucket(pa.array(strs), 64).to_pylist()
+    parts: list[int] = []
+    for lo in range(0, len(strs), 333):  # uneven chunking on purpose
+        parts.extend(_hash_bucket(pa.array(strs[lo : lo + 333]), 64).to_pylist())
+    assert whole == parts
+    # singleton == batch
+    assert _hash_bucket(pa.array([strs[0]]), 64).to_pylist()[0] == whole[0]
+    # int keys stringify consistently with arbitrary chunk layouts
+    t1 = pa.table({"k": pa.chunked_array([pa.array([1, 2], pa.int64()),
+                                          pa.array([3], pa.int64())])})
+    t2 = pa.table({"k": pa.array([1, 2, 3], pa.int64())})
+    a = _hash_bucket(_key_strings(t1, "k"), 64).to_pylist()
+    b = _hash_bucket(_key_strings(t2, "k"), 64).to_pylist()
+    assert a == b
+    assert np.array(whole).min() >= 0 and np.array(whole).max() < 64
