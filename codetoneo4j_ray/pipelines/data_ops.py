@@ -161,42 +161,93 @@ def doc_dedup_minhash(sf_dir: str, jaccard_threshold: float = 0.8) -> ray.data.D
     xor-multiply) and band buckets (decimal string concat) are all chosen
     to be bit-exactly replicable in ANSI-ish SQL, so the whole sketch —
     not just the verified pairs — is covered by a STRICT DuckDB oracle
-    (see ``minhash_oracle_sql``)."""
+    (see ``minhash_oracle_sql``).
+
+    Identical-document floods — the normal case in crawl dedup — are
+    collapsed INSIDE the band exchange: each band row carries md5(text),
+    and within a (band, bucket) group all copies of a text collapse to
+    one representative (min doc_id) before any pair is emitted, so a
+    flood of N copies yields zero LSH candidate pairs instead of
+    O(N^2)*16. Signatures depend only on text, so candidates over
+    representatives plus the final expansion (verified rep pairs x group
+    members, and intra-group pairs which have Jaccard 1) is provably the
+    same pair set as running LSH over every document. Membership rows
+    ('m', emitted once per distinct text from band 0, which every copy
+    of a text shares) ride the two existing verification exchanges, so
+    the collapse adds NO exchange: the op still runs band/pairs ->
+    attach_a -> verify_b -> sort. Distinct-but-near-identical floods
+    still cost O(pairs) — the size of the required output."""
 
     rows_per_band = _MINHASH_PERMS // _LSH_BANDS
 
     def to_bands(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_pylist()
         texts = batch["text"].to_pylist()
-        out_band, out_bucket, out_id = [], [], []
+        out_band, out_bucket, out_id, out_h = [], [], [], []
         for doc_id, text in zip(ids, texts):
             sig = _minhash_sig(_minhash_shingles(text))
+            h = hashlib.md5(text.encode("utf-8")).hexdigest()
             for b in range(_LSH_BANDS):
                 chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
                 bucket = ",".join(str(int(v)) for v in chunk)
                 out_band.append(b)
                 out_bucket.append(bucket)
                 out_id.append(doc_id)
+                out_h.append(h)
         return pa.table(
             {
                 "band": pa.array(out_band, pa.int32()),
                 "bucket": pa.array(out_bucket, pa.string()),
                 "doc_id": pa.array(out_id, pa.int64()),
+                "h": pa.array(out_h, pa.string()),
             }
         )
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        out_a: list[int] = []
-        out_b: list[int] = []
-        for _key, group in df.groupby(["band", "bucket"], sort=False):
-            ids = sorted(group["doc_id"].unique())
+        """Per (band, bucket): collapse exact dups by text hash, emit
+        all-pairs over the representatives as candidate rows ('c'), and —
+        from band 0 only, which every copy of a text lands in — one
+        membership row ('m') per duplicated text with the sorted member
+        ids (singleton groups get no 'm' row; the verifiers fall back to
+        [rep]). Output rows use the verification-join schema directly.
+        The collapse itself is vectorized (sort + drop_duplicates +
+        transform-size); Python loops only touch groups that actually
+        emit something — buckets with >=2 distinct texts and texts with
+        >=2 copies, both rare in a healthy corpus."""
+        keys: list[int] = []
+        others: list[object] = []
+        mems: list[object] = []
+        sides: list[str] = []
+        df = df.sort_values("doc_id", kind="stable")
+        reps = df.drop_duplicates(subset=["band", "bucket", "h"], keep="first")
+        sizes = reps.groupby(["band", "bucket"], sort=False)["doc_id"].transform(
+            "size"
+        )
+        for _k, group in reps[sizes >= 2].groupby(["band", "bucket"], sort=False):
+            ids = np.sort(group["doc_id"].to_numpy(dtype=np.int64))
             for i, a in enumerate(ids):
                 for b in ids[i + 1 :]:
-                    out_a.append(a)
-                    out_b.append(b)
+                    keys.append(int(a))
+                    others.append(int(b))
+                    mems.append(None)
+                    sides.append("c")
+        b0 = df[df["band"] == 0]
+        if len(b0):
+            hsz = b0.groupby("h", sort=False)["doc_id"].transform("size")
+            for _h, g in b0[hsz >= 2].groupby("h", sort=False):
+                ids = np.unique(g["doc_id"].to_numpy(dtype=np.int64))
+                keys.append(int(ids[0]))
+                others.append(None)
+                mems.append(ids.tobytes())
+                sides.append("m")
         return pd.DataFrame(
-            {"doc_a": pd.Series(out_a, dtype="int64"),
-             "doc_b": pd.Series(out_b, dtype="int64")}
+            {
+                "key": pd.Series(keys, dtype="int64"),
+                "other": pd.Series(others, dtype="object"),
+                "sh": pd.Series([None] * len(keys), dtype="object"),
+                "mem": pd.Series(mems, dtype="object"),
+                "side": pd.Series(sides, dtype="object"),
+            }
         )
 
     cand = bucketed_apply(
@@ -208,7 +259,7 @@ def doc_dedup_minhash(sf_dir: str, jaccard_threshold: float = 0.8) -> ray.data.D
     )
 
     # Exact-Jaccard verification, fully distributed: candidates bucket-join
-    # back to per-doc shingle sets on doc_a, then doc_b (two co-partitioned
+    # back to per-doc shingle sets on rep_a, then rep_b (two co-partitioned
     # exchanges of metadata-sized rows) — no whole-corpus driver state.
     def doc_shingles(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_pylist()
@@ -223,6 +274,7 @@ def doc_dedup_minhash(sf_dir: str, jaccard_threshold: float = 0.8) -> ray.data.D
                 "key": pa.array(ids, pa.int64()),
                 "other": pa.nulls(n, pa.int64()),
                 "sh": pa.array(blobs, pa.binary()),
+                "mem": pa.nulls(n, pa.binary()),
                 "side": pa.array(["s"] * n, pa.string()),
             }
         )
@@ -234,70 +286,105 @@ def doc_dedup_minhash(sf_dir: str, jaccard_threshold: float = 0.8) -> ray.data.D
         doc_shingles, batch_format="pyarrow"
     )
 
-    def cand_rows(batch) -> pa.Table:
-        if isinstance(batch, pd.DataFrame):
-            batch = pa.Table.from_pandas(batch, preserve_index=False)
-        if batch.num_rows == 0 or "doc_a" not in batch.column_names:
-            return pa.table(
-                {"key": pa.array([], pa.int64()), "other": pa.array([], pa.int64()),
-                 "sh": pa.array([], pa.binary()), "side": pa.array([], pa.string())}
-            )
-        n = batch.num_rows
-        return pa.table(
-            {
-                "key": batch["doc_a"],
-                "other": batch["doc_b"],
-                "sh": pa.nulls(n, pa.binary()),
-                "side": pa.array(["c"] * n, pa.string()),
-            }
-        )
-
     def attach_a(df: pd.DataFrame) -> pd.DataFrame:
-        sh_map = dict(zip(df.loc[df["side"] == "s", "key"],
-                          df.loc[df["side"] == "s", "sh"]))
+        s = df[df["side"] == "s"]
+        sh_map = dict(zip(s["key"], s["sh"]))
+        m = df[df["side"] == "m"]
+        mem_map = dict(zip(m["key"], m["mem"]))
         c = df[df["side"] == "c"]
         # every copy of a candidate pair (from different LSH bands) lands
-        # in this bucket (keyed by doc_a) — dedup here, no extra exchange
+        # in this bucket (keyed by rep_a) — dedup here, no extra exchange
         c = c.drop_duplicates(subset=["key", "other"])
-        # re-key on doc_b for the second pass; carry doc_a's shingles
-        return pd.DataFrame(
+        # re-key candidates on rep_b for the second pass, carrying rep_a's
+        # shingles + members; membership rows pass through under the SAME
+        # key so they land with rep_b-keyed work in verify_b
+        mem_a = [
+            mem_map.get(k) if mem_map.get(k) is not None
+            else np.int64(k).tobytes()
+            for k in c["key"]
+        ]
+        out = pd.DataFrame(
             {
                 "key": c["other"].astype("int64"),
                 "other": c["key"].astype("int64"),
                 "sh": c["key"].map(sh_map),
+                "mem": pd.Series(mem_a, dtype="object", index=c.index),
                 "side": "c",
             }
         )
+        if len(m):
+            out = pd.concat(
+                [out, m[["key", "other", "sh", "mem", "side"]]],
+                ignore_index=True,
+            )
+        return out
 
     def verify_b(df: pd.DataFrame) -> pd.DataFrame:
-        sh_map = dict(zip(df.loc[df["side"] == "s", "key"],
-                          df.loc[df["side"] == "s", "sh"]))
+        s = df[df["side"] == "s"]
+        sh_map = dict(zip(s["key"], s["sh"]))
+        m = df[df["side"] == "m"]
+        mem_map = dict(zip(m["key"], m["mem"]))
         c = df[df["side"] == "c"]
-        out_a: list[int] = []
-        out_b: list[int] = []
-        for b, a, sh_a in zip(c["key"], c["other"], c["sh"]):
+        outs_a: list[np.ndarray] = []
+        outs_b: list[np.ndarray] = []
+        for b, a, sh_a, mem_a in zip(c["key"], c["other"], c["sh"], c["mem"]):
             sa = np.frombuffer(sh_a if sh_a is not None else b"", dtype=np.uint64)
             sb = np.frombuffer(sh_map.get(b, b""), dtype=np.uint64)
             inter = len(np.intersect1d(sa, sb, assume_unique=True))
             union = len(sa) + len(sb) - inter
             j = (inter / union) if union else 1.0
             if j >= jaccard_threshold:
-                out_a.append(int(a))
-                out_b.append(int(b))
+                # expand rep pair -> all cross-group doc pairs (groups are
+                # disjoint, so min/max orientation never yields x == y)
+                ma = np.frombuffer(mem_a if mem_a is not None else b"",
+                                   dtype=np.int64)
+                mb_blob = mem_map.get(b)
+                mb = (
+                    np.frombuffer(mb_blob, dtype=np.int64)
+                    if mb_blob is not None
+                    else np.array([b], dtype=np.int64)
+                )
+                if len(ma) == 0:
+                    ma = np.array([a], dtype=np.int64)
+                xs = np.repeat(ma, len(mb))
+                ys = np.tile(mb, len(ma))
+                outs_a.append(np.minimum(xs, ys))
+                outs_b.append(np.maximum(xs, ys))
+        # intra-group pairs: every pair of exact duplicates has Jaccard 1.
+        # Each membership row appears exactly once (band-0 emission), so
+        # its C(g,2) pairs are emitted exactly once — the required output.
+        for mem in m["mem"]:
+            ids = np.frombuffer(mem, dtype=np.int64)  # sorted ascending
+            g = len(ids)
+            if g < 2:
+                continue
+            for i in range(g - 1):
+                outs_a.append(np.full(g - 1 - i, ids[i], dtype=np.int64))
+                outs_b.append(ids[i + 1 :])
+        if outs_a:
+            oa = np.concatenate(outs_a)
+            ob = np.concatenate(outs_b)
+        else:
+            oa = ob = np.array([], dtype=np.int64)
         return pd.DataFrame(
-            {"doc_a": pd.Series(out_a, dtype="int64"),
-             "doc_b": pd.Series(out_b, dtype="int64")}
+            {"doc_a": pd.Series(oa, dtype="int64"),
+             "doc_b": pd.Series(ob, dtype="int64")}
         )
 
     _JOIN_SCHEMA = pa.schema(
         [("key", pa.int64()), ("other", pa.int64()),
-         ("sh", pa.binary()), ("side", pa.string())]
+         ("sh", pa.binary()), ("mem", pa.binary()), ("side", pa.string())]
     )
 
-    def norm(batch: pa.Table) -> pa.Table:
+    def norm(batch) -> pa.Table:
         # empty pandas buckets infer null-typed columns; cast to canonical
+        if isinstance(batch, pd.DataFrame):
+            batch = pa.Table.from_pandas(batch, preserve_index=False)
         cols = {}
         for fld in _JOIN_SCHEMA:
+            if fld.name not in batch.column_names:
+                cols[fld.name] = pa.nulls(batch.num_rows, fld.type)
+                continue
             col = batch[fld.name]
             cols[fld.name] = (
                 pa.nulls(batch.num_rows, fld.type)
@@ -307,8 +394,7 @@ def doc_dedup_minhash(sf_dir: str, jaccard_threshold: float = 0.8) -> ray.data.D
         return pa.table(cols, schema=_JOIN_SCHEMA)
 
     pass_a = bucketed_apply(
-        cand.map_batches(cand_rows, batch_format="pyarrow")
-        .map_batches(norm, batch_format="pyarrow")
+        cand.map_batches(norm, batch_format="pyarrow")
         .union(shingles_ds.map_batches(norm, batch_format="pyarrow")),
         ["key"],
         attach_a,

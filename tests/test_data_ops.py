@@ -676,3 +676,37 @@ def test_events_hopping_non_divisible_hop(tmp_path):
             want[w] = want.get(w, 0) + 1
             w -= 1400
     assert got == want
+
+
+def test_minhash_identical_doc_flood_is_not_quadratic(tmp_path):
+    """An identical-document flood (the normal case in crawl dedup) must
+    collapse to ONE LSH representative per distinct text — the candidate
+    stage emits zero pairs for a single-text corpus — while the output
+    still carries every C(g,2) duplicate pair, plus cross-group pairs
+    for near-dup (but unequal) texts."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from codetoneo4j_ray.pipelines.data_ops import doc_dedup_minhash
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon chi psi")
+    n_flood = 10_000
+    texts = [base] * n_flood + [base + " omega"] + [
+        "totally different words about completely other topics right here"
+    ] * 3
+    ids = list(range(len(texts)))
+    pq.write_table(
+        pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array(texts, pa.string())}),
+        str(tmp_path / "documents.parquet"),
+    )
+    ds = doc_dedup_minhash(str(tmp_path))
+    n = ds.count()
+    # flood pairs + cross pairs (near-dup text x flood, J=22/23>=0.8)
+    # + C(3,2) pairs of the second exact-dup group
+    expect = n_flood * (n_flood - 1) // 2 + n_flood + 3
+    assert n == expect
+    # spot-check the cross-group expansion reached every flood member
+    head = ds.take(3)
+    assert [(r["doc_a"], r["doc_b"]) for r in head] == [(0, 1), (0, 2), (0, 3)]
