@@ -113,6 +113,100 @@ def _structural_input(records_dir, symbols, files):
     return ds
 
 
+def _record_parts(records, records_dir):
+    """(symbols, files, raw_mentions, structural-input) from either a
+    hive-partitioned checkpoint dir (partition-pruned reads) or an
+    in-memory record stream."""
+    if records_dir is not None:
+        symbols = read_records(records_dir, "symbol")
+        files = read_records(records_dir, "file")
+        raw_mentions = read_records(records_dir, "mention")
+        # structural edges derive only from symbol/file/url rows — skip
+        # the mention partition (the bulk of the checkpoint) entirely
+        records = _structural_input(records_dir, symbols, files)
+    else:
+        symbols = records.filter(expr="rec_type == 'symbol'")
+        files = records.filter(expr="rec_type == 'file'")
+        raw_mentions = records.filter(expr="rec_type == 'mention'")
+    return symbols, files, raw_mentions, records
+
+
+def _symbol_edges(raw_mentions, symbols, mode):
+    """Stage-2 resolved+endpoint-checked (subj, pred, obj) edges and the
+    resolved mention stream (both lazy).
+
+    In broadcast mode this call does the serial driver work (member
+    index + symbol-key set, built concurrently); callers that don't need
+    edges should avoid it."""
+    mention_cols = ["subj", "pred", "obj", "repo", "ctx_kind", "ctx_name",
+                    "ctx_receiver", "ctx_argc"]
+    if mode == "partitioned":
+        from codetoneo4j_ray.stages.link import (
+            resolve_link_fused,
+            resolve_mentions_partitioned,
+        )
+
+        # one repo-keyed exchange resolves + endpoint-checks the
+        # repo-prefixed bulk; only non-prefixed keys take the two tiny
+        # global semi-join exchanges
+        sym_edges = resolve_link_fused(raw_mentions, symbols)
+        # resolved mention stream only if a consumer asks (lazy — unused
+        # by build_graph, which never writes mentions_raw)
+        resolved = resolve_mentions_partitioned(raw_mentions)
+    else:
+        # the two driver-side broadcast structures read disjoint record
+        # partitions (mention vs symbol) — build them concurrently so the
+        # serial plan-build latency is max(t_members, t_keys), not the sum
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _keys() -> set:
+            keys_df = symbols.select_columns(["key"]).to_pandas()
+            return set(keys_df["key"]) if "key" in keys_df.columns else set()
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fut_members = pool.submit(build_member_indices, raw_mentions)
+            fut_keys = pool.submit(_keys)
+            member_indices = fut_members.result()
+            symbol_keys = fut_keys.result()
+
+        # narrow the mention stream before the resolve/join stages — only
+        # the resolution context columns travel, never the symbol payload
+        mentions = strip_internal(raw_mentions.select_columns(mention_cols))
+        resolved = resolve_mentions(mentions, member_indices)
+
+        sym_edges = resolve_edges_broadcast(
+            resolved.select_columns(["subj", "pred", "obj"]), symbol_keys
+        )
+    return sym_edges, resolved
+
+
+def _edges_output(raw_mentions, symbols, records, mode, no_key):
+    from codetoneo4j_ray.stages.canonicalize import distinct_sorted
+
+    sym_edges, resolved = _symbol_edges(raw_mentions, symbols, mode)
+    # dedup/distinct fused into the output's range-partitioned sort: ONE
+    # exchange (see canonicalize.lww_sorted for the exactness argument)
+    edges = distinct_sorted(
+        sym_edges.union(structural_edges(records,
+                                         include_project=not no_key))
+    )
+    return edges, resolved
+
+
+def _nodes_output(symbols):
+    from codetoneo4j_ray.stages.canonicalize import _TIEBREAK, lww_sorted
+
+    # finalize (truncate-8000 + projection) runs BEFORE the node shuffle
+    # so untruncated doc strings never move
+    return lww_sorted(finalize_nodes(symbols), "key", _TIEBREAK)
+
+
+def _files_output(files):
+    from codetoneo4j_ray.stages.canonicalize import _FILE_TIEBREAK, lww_sorted
+
+    return lww_sorted(finalize_files(files), "key", _FILE_TIEBREAK)
+
+
 def graph_from_records(
     records: ray.data.Dataset | None = None,
     records_dir: str | None = None,
@@ -132,64 +226,13 @@ def graph_from_records(
         configuration (scaling benches run this mode).
     Returns lazy datasets: nodes, edges, files, mentions_raw.
     """
-    mention_cols = ["subj", "pred", "obj", "repo", "ctx_kind", "ctx_name",
-                    "ctx_receiver", "ctx_argc"]
-    if records_dir is not None:
-        symbols = read_records(records_dir, "symbol")
-        files = read_records(records_dir, "file")
-        raw_mentions = read_records(records_dir, "mention")
-        # structural edges derive only from symbol/file/url rows — skip
-        # the mention partition (the bulk of the checkpoint) entirely
-        records = _structural_input(records_dir, symbols, files)
-    else:
-        symbols = records.filter(expr="rec_type == 'symbol'")
-        files = records.filter(expr="rec_type == 'file'")
-        raw_mentions = records.filter(expr="rec_type == 'mention'")
-
-    if mode == "partitioned":
-        from codetoneo4j_ray.stages.link import (
-            resolve_link_fused,
-            resolve_mentions_partitioned,
-        )
-
-        # one repo-keyed exchange resolves + endpoint-checks the
-        # repo-prefixed bulk; only non-prefixed keys take the two tiny
-        # global semi-join exchanges
-        sym_edges = resolve_link_fused(raw_mentions, symbols)
-        # resolved mention stream only if a consumer asks (lazy — unused
-        # by build_graph, which never writes mentions_raw)
-        resolved = resolve_mentions_partitioned(raw_mentions)
-    else:
-        member_indices = build_member_indices(raw_mentions)
-        # narrow the mention stream before the resolve/join stages — only
-        # the resolution context columns travel, never the symbol payload
-        mentions = strip_internal(raw_mentions.select_columns(mention_cols))
-        resolved = resolve_mentions(mentions, member_indices)
-
-        # declared-symbol key set (metadata): broadcast for the endpoint join
-        keys_df = symbols.select_columns(["key"]).to_pandas()
-        symbol_keys = set(keys_df["key"]) if "key" in keys_df.columns else set()
-
-        sym_edges = resolve_edges_broadcast(
-            resolved.select_columns(["subj", "pred", "obj"]), symbol_keys
-        )
-    from codetoneo4j_ray.stages.canonicalize import distinct_sorted, lww_sorted
-    from codetoneo4j_ray.stages.canonicalize import _FILE_TIEBREAK, _TIEBREAK
-
-    # dedup/distinct fused into each output's range-partitioned sort:
-    # ONE exchange per table (see canonicalize.lww_sorted for the
-    # exactness argument). finalize (truncate-8000 + projection) runs
-    # BEFORE the node shuffle so untruncated doc strings never move.
-    edges = distinct_sorted(
-        sym_edges.union(structural_edges(records,
-                                         include_project=not no_key))
-    )
-    nodes = lww_sorted(finalize_nodes(symbols), "key", _TIEBREAK)
-    files_out = lww_sorted(finalize_files(files), "key", _FILE_TIEBREAK)
+    symbols, files, raw_mentions, records = _record_parts(records, records_dir)
+    edges, resolved = _edges_output(raw_mentions, symbols, records, mode,
+                                    no_key)
     return {
-        "nodes": nodes,
+        "nodes": _nodes_output(symbols),
         "edges": edges,
-        "files": files_out,
+        "files": _files_output(files),
         "mentions_raw": resolved,
     }
 
@@ -254,20 +297,30 @@ def build_graph(
         write_manifest(out_dir, "records", fp,
                        {"rows": _parquet_rows(records_dir), "wall_sec": stage1_sec})
 
-    # Stages 2–4: build the three output pipelines, then run their
-    # writes concurrently (they are independent; the streaming executor
-    # interleaves instead of paying three sequential ramps).
+    # Stages 2–4: one thread per output table, each building its own
+    # plan — the nodes/files writes start streaming immediately while the
+    # edges thread does the serial stage-2 prep (broadcast-mode member
+    # index + key set), overlapping that latency instead of gating all
+    # three writes behind it.
     from concurrent.futures import ThreadPoolExecutor
 
     _stub_fsspec_http()
-    outputs = graph_from_records(records_dir=records_dir, mode=mode,
-                                 no_key=no_key)
+    symbols, files, raw_mentions, records_in = _record_parts(
+        None, records_dir
+    )
     metrics: dict = {}
 
     def write_one(name: str) -> tuple[str, int]:
+        if name == "nodes":
+            ds = _nodes_output(symbols)
+        elif name == "files":
+            ds = _files_output(files)
+        else:
+            ds, _resolved = _edges_output(raw_mentions, symbols, records_in,
+                                          mode, no_key)
         path = f"{out_dir}/{name}"
         shutil.rmtree(path, ignore_errors=True)
-        outputs[name].write_parquet(path)
+        ds.write_parquet(path)
         return name, _parquet_rows(path)
 
     with ThreadPoolExecutor(max_workers=3) as pool:

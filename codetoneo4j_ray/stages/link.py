@@ -142,21 +142,33 @@ def _resolve_batch(batch: pa.Table, index_ref=None) -> pa.Table:
     key — present in raw mentions (like Roslyn's external-method keys),
     never matching a declared symbol, hence dropped by step B, exactly as
     the reference's dangling refs are dropped by MergeRelationships.
+
+    Only the deferred rows (``ctx_kind`` set and not "member") cross into
+    Python; the pass-through majority stays in Arrow and the updated
+    ``obj`` column is spliced back with ``pc.replace_with_mask``.
     """
-    mask = pc.not_equal(batch["ctx_kind"], pa.scalar(""))
-    if not pc.any(mask).as_py():
+    import numpy as np
+
+    kinds_col = batch["ctx_kind"]
+    dmask = pc.fill_null(
+        pc.and_(
+            pc.not_equal(kinds_col, pa.scalar("")),
+            pc.not_equal(kinds_col, pa.scalar("member")),
+        ),
+        False,
+    )
+    if not pc.any(dmask).as_py():
         return batch
     indices: dict[str, MemberIndex] = _cached_get(index_ref)
-    objs = batch["obj"].to_pylist()
-    repos = batch["repo"].to_pylist()
-    kinds = batch["ctx_kind"].to_pylist()
-    names = batch["ctx_name"].to_pylist()
-    recvs = batch["ctx_receiver"].to_pylist()
-    argcs = batch["ctx_argc"].to_pylist()
-    keep = [True] * len(kinds)
+    sub = batch.filter(dmask)
+    objs = sub["obj"].to_pylist()
+    repos = sub["repo"].to_pylist()
+    kinds = sub["ctx_kind"].to_pylist()
+    names = sub["ctx_name"].to_pylist()
+    recvs = sub["ctx_receiver"].to_pylist()
+    argcs = sub["ctx_argc"].to_pylist()
+    drop_local = np.zeros(len(kinds), dtype=bool)
     for i, kind in enumerate(kinds):
-        if not kind or kind == "member":
-            continue
         idx = indices.get(repos[i])
         repo_key = repos[i].lower()
         recv, name, argc = recvs[i], names[i], int(argcs[i])
@@ -164,7 +176,7 @@ def _resolve_batch(batch: pa.Table, index_ref=None) -> pa.Table:
         if key is None:
             if kind in ("mgroup", "cast", "conv", "binop", "unop"):
                 # no IMethodSymbol resolves here → Roslyn emits nothing
-                keep[i] = False
+                drop_local[i] = True
                 continue
             if kind == "ctor":
                 simple = recv.rsplit(".", 1)[-1].split("<", 1)[0]
@@ -172,11 +184,18 @@ def _resolve_batch(batch: pa.Table, index_ref=None) -> pa.Table:
             else:
                 key = f"{repo_key}:{recv}.{name}(~{argc})"
         objs[i] = key
+    obj_col = batch["obj"]
+    if isinstance(obj_col, pa.ChunkedArray):
+        obj_col = obj_col.combine_chunks()
+    mask_arr = dmask.combine_chunks() if isinstance(dmask, pa.ChunkedArray) else dmask
+    new_obj = pc.replace_with_mask(obj_col, mask_arr, pa.array(objs, pa.string()))
     batch = batch.set_column(
-        batch.schema.get_field_index("obj"), "obj", pa.array(objs, pa.string())
+        batch.schema.get_field_index("obj"), "obj", new_obj
     )
-    if not all(keep):
-        batch = batch.filter(pa.array(keep, pa.bool_()))
+    if drop_local.any():
+        keep = np.ones(len(batch), dtype=bool)
+        keep[np.nonzero(mask_arr.to_numpy(zero_copy_only=False))[0][drop_local]] = False
+        batch = batch.filter(pa.array(keep))
     return batch
 
 
@@ -341,12 +360,16 @@ def resolve_mentions_partitioned(
 
 
 def _endpoint_filter_batch(batch: pa.Table, keys_ref=None) -> pa.Table:
-    # value_set probe via pc.is_in: vectorized hash lookup (the broadcast
-    # object is an Arrow array — zero-copy from the local object store)
-    keys: pa.Array = _cached_get(keys_ref)
-    keep = pc.and_(
-        pc.is_in(batch["subj"], value_set=keys),
-        pc.is_in(batch["obj"], value_set=keys),
+    # probe against the broadcast frozenset: the hash table is built ONCE
+    # (driver-side) and deserialized once per worker via _cached_get —
+    # pc.is_in(value_set=...) would rebuild a |keys|-sized hash table on
+    # EVERY batch, which measured ~60 ms/call at 240 k keys and dominated
+    # the edges pipeline's CPU
+    keys: frozenset = _cached_get(keys_ref)
+    keep = pa.array(
+        [s in keys and o in keys
+         for s, o in zip(batch["subj"].to_pylist(), batch["obj"].to_pylist())],
+        pa.bool_(),
     )
     return batch.filter(keep)
 
@@ -360,7 +383,7 @@ def resolve_edges_broadcast(
     broadcast once via ``ray.put`` and probed per batch (no shuffle)."""
     import functools
 
-    keys_ref = ray.put(pa.array(sorted(symbol_keys), pa.string()))
+    keys_ref = ray.put(frozenset(symbol_keys))
     return mentions.map_batches(
         functools.partial(_endpoint_filter_batch, keys_ref=keys_ref),
         batch_format="pyarrow",
