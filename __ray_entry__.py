@@ -38,6 +38,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         q_kg_commits,
         q_kg_edges,
         q_kg_file_history,
+        q_kg_file_versions,
         q_kg_files,
         q_kg_mentions_raw,
         q_kg_degree_topk,
@@ -60,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_commit_edges": q_kg_commit_edges,
         "kg_authored": q_kg_authored,
         "kg_file_history": q_kg_file_history,
+        "kg_file_versions": q_kg_file_versions,
         # training-data ops: dedup family
         "doc_dedup_exact": data_ops.doc_dedup_exact,
         "doc_dedup_minhash": data_ops.doc_dedup_minhash,
@@ -218,9 +220,9 @@ def oracle_sql() -> dict[str, str]:
                 )
                 SELECT vec_id,
                        CAST(floor(scale * 1000000) AS BIGINT) AS scale_micro,
-                       md5(array_to_string(list_transform(x,
+                       md5(COALESCE(array_to_string(list_transform(x,
                            e -> CAST(CAST(floor(e * scale) AS BIGINT)
-                                     AS VARCHAR)), ',')) AS q_md5
+                                     AS VARCHAR)), ','), '')) AS q_md5
                 FROM s ORDER BY vec_id
             """,
             "events_tumbling": """

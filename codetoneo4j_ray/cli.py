@@ -141,9 +141,13 @@ def main(argv: list[str] | None = None) -> int:
 
 
 def _write_commit_graph(commits_path: str, out_dir: str, metrics: dict) -> None:
+    import os
     import shutil
 
+    import ray.data
+
     from codetoneo4j_ray.pipelines.commits import (
+        attach_file_versions,
         authored_stats,
         commit_edges,
         commit_nodes,
@@ -164,6 +168,22 @@ def _write_commit_graph(commits_path: str, out_dir: str, metrics: dict) -> None:
         from codetoneo4j_ray.pipelines.build_graph import _parquet_rows
 
         metrics[name] = _parquet_rows(path)
+
+    # File nodes carry their commit/tag lists (UpsertFile.cypher:12-13
+    # ``f.commits = file.commits, f.tags = file.tags``): rewrite files/
+    # with the list columns joined on, atomically via a sibling dir swap
+    files_dir = f"{out_dir}/files"
+    if os.path.isdir(files_dir):
+        tmp = f"{out_dir}/files.withversions"
+        shutil.rmtree(tmp, ignore_errors=True)
+        attach_file_versions(
+            ray.data.read_parquet(files_dir), commits
+        ).write_parquet(tmp)
+        old = f"{out_dir}/files.old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(files_dir, old)
+        os.rename(tmp, files_dir)
+        shutil.rmtree(old, ignore_errors=True)
 
 
 if __name__ == "__main__":

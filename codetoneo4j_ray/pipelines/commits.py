@@ -163,6 +163,149 @@ def authored_stats(commits: ray.data.Dataset) -> ray.data.Dataset:
     )
 
 
+# internal list separator for the version fold: U+001F cannot appear in
+# commit hashes and is rejected by git ref syntax checks in practice;
+# the joined form keeps every exchange all-string (no per-block Arrow
+# list-type inference) and IS the strict-oracle-comparable shape
+_SEP = "\x1f"
+
+
+def file_versions(commits: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-file commit-hash list + distinct tag list, as joined strings.
+
+    The ``FileMetadata.Commits``/``Tags`` fold (``GitLogParser.cs:83-114``
+    hashes list + tag refs set) that ``UpsertFile.cypher:12-13`` stores
+    on every File node (``f.commits = file.commits, f.tags = file.tags``).
+
+    - ``commits_csv``: hashes in git-log output order — newest first
+      (date desc, hash asc tiebreak for determinism), \\x1f-joined.
+    - ``tags_csv``: distinct tags of the file's commits, sorted,
+      \\x1f-joined ('' when none). The reference's case-insensitive
+      HashSet keeps first-seen casing in insertion order; sorted-distinct
+      is the deterministic analog.
+
+    One (repo, path)-bucketed exchange; list building needs every commit
+    of a file co-located, so there is no map-side combine beyond the
+    explode projection. ``attach_file_versions`` materializes the real
+    list columns onto the files table.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(["repo", "hash", "date", "changed_paths", "tags"]
+                          ).to_pandas()
+        df["date_sec"] = _date_sec(df["date"])
+        # pre-join each commit's tag list: the exploded frame stays
+        # all-scalar through the exchange
+        df["tags"] = [
+            _SEP.join(lst) if lst is not None and len(lst) else ""
+            for lst in df["tags"]
+        ]
+        df = df.drop(columns="date").explode("changed_paths")
+        df = df.rename(columns={"changed_paths": "path"})
+        df = df.dropna(subset=["path"])
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["repo", "path", "date_sec", "hash"],
+                            ascending=[True, True, False, True],
+                            kind="stable")
+
+        def fold_tags(s: pd.Series) -> str:
+            return _SEP.join(sorted(
+                {t for joined in s if joined for t in joined.split(_SEP)}
+            ))
+
+        return df.groupby(["repo", "path"], sort=False, as_index=False).agg(
+            commits_csv=("hash", _SEP.join),
+            tags_csv=("tags", fold_tags),
+        )
+
+    return (
+        bucketed_apply(
+            commits.map_batches(partial, batch_format="pyarrow"),
+            ["repo", "path"],
+            merge,
+        )
+        .select_columns(["repo", "path", "commits_csv", "tags_csv"])
+        .sort(["repo", "path"])
+    )
+
+
+_FILE_COLS = [
+    "key", "path", "file_name", "namespace", "sha256", "language",
+    "technology", "repo", "commit",
+]
+
+
+def attach_file_versions(
+    files: ray.data.Dataset, commits: ray.data.Dataset
+) -> ray.data.Dataset:
+    """files table ⇒ files table + ``commits``/``tags`` list columns.
+
+    Bucketed join on (repo, path); files with no git history get empty
+    lists, exactly as the reference upserts empty ``file.commits`` /
+    ``file.tags`` for untracked files (UpsertFile.cypher:12-13). The
+    list columns materialize only in the final Arrow map — every
+    exchange moves scalar strings."""
+    versions = file_versions(commits)
+    _COMMON = _FILE_COLS + ["commits_csv", "tags_csv", "__side"]
+
+    def file_side(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        batch = batch.select(_FILE_COLS)
+        batch = batch.append_column("commits_csv", pa.nulls(n, pa.string()))
+        batch = batch.append_column("tags_csv", pa.nulls(n, pa.string()))
+        return batch.append_column("__side", pa.array(["f"] * n, pa.string()))
+
+    def version_side(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols: dict = {}
+        for c in _FILE_COLS:
+            cols[c] = batch[c] if c in ("repo", "path") else pa.nulls(
+                n, pa.string()
+            )
+        cols["commits_csv"] = batch["commits_csv"]
+        cols["tags_csv"] = batch["tags_csv"]
+        cols["__side"] = pa.array(["v"] * n, pa.string())
+        return pa.table({c: cols[c] for c in _COMMON})
+
+    both = files.map_batches(file_side, batch_format="pyarrow").union(
+        versions.map_batches(version_side, batch_format="pyarrow")
+    )
+
+    def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[df["__side"] == "v"]
+        lookup = {
+            (r, p): (c, t)
+            for r, p, c, t in zip(v["repo"], v["path"], v["commits_csv"],
+                                  v["tags_csv"])
+        }
+        out = df[df["__side"] == "f"].drop(columns="__side").copy()
+        hits = [lookup.get((r, p), ("", ""))
+                for r, p in zip(out["repo"], out["path"])]
+        out["commits_csv"] = [h[0] for h in hits]
+        out["tags_csv"] = [h[1] for h in hits]
+        return out
+
+    def to_lists(batch: pa.Table) -> pa.Table:
+        def split(col: str) -> pa.Array:
+            return pa.array(
+                [v.split(_SEP) if v else [] for v in
+                 batch[col].to_pylist()],
+                pa.list_(pa.string()),
+            )
+
+        out = batch.select(_FILE_COLS)
+        out = out.append_column("commits", split("commits_csv"))
+        return out.append_column("tags", split("tags_csv"))
+
+    return (
+        bucketed_apply(both, ["repo", "path"], join_bucket)
+        .map_batches(to_lists, batch_format="pyarrow")
+        .sort("key")
+    )
+
+
 def file_history(commits: ray.data.Dataset) -> ray.data.Dataset:
     """Per-file created/lastModified/commit count (the FileMetadata fold:
     ``GitLogParser.cs:70-81`` created=min, lastModified=max; commit list

@@ -897,12 +897,17 @@ def ann_topk(sf_dir: str, n_queries: int = 8, k: int = 10) -> ray.data.Dataset:
 def embedding_near_dup(
     sf_dir: str, threshold: float = 0.95, n_cells: int = 16, n_assign: int = 2
 ) -> ray.data.Dataset:
-    """All pairs (a < b) with cosine ≥ threshold, IVF-cell-blocked:
-    sample-trained centroids partition the space; each vector lands in
-    its ``n_assign`` nearest cells (multi-assignment keeps boundary-
-    straddling near-dups in a shared cell); all-pairs cosine runs only
-    within cells via a hash-partitioned bucket exchange. No full-matrix
-    broadcast — per-worker state is the k×dim centroid block."""
+    """APPROXIMATE near-duplicate pairs (a < b) with cosine ≥ threshold.
+
+    IVF-cell-blocked, so recall < 1.0 by design: a qualifying pair whose
+    top-``n_assign`` cell assignments are disjoint is missed (raise
+    ``n_assign`` to trade cost for recall; the seeded clustered-fixture
+    pytest pins recall ≥ 0.9). Sample-trained centroids partition the
+    space; each vector lands in its ``n_assign`` nearest cells (multi-
+    assignment keeps boundary-straddling near-dups in a shared cell);
+    all-pairs cosine runs only within cells via a hash-partitioned
+    bucket exchange. No full-matrix broadcast — per-worker state is the
+    k×dim centroid block."""
     centers = _train_centroids(sf_dir, n_cells)
     c_ref = ray.put(centers)
 

@@ -227,6 +227,15 @@ def q_kg_file_history(sf_dir: str) -> ray.data.Dataset:
     return file_history(read_commits(_commits_path(sf_dir)))
 
 
+def q_kg_file_versions(sf_dir: str) -> ray.data.Dataset:
+    """Per-file commit list (newest first) + distinct tag list, in the
+    \\x1f-joined strict-comparable form — the ``f.commits`` / ``f.tags``
+    File-node properties (UpsertFile.cypher:12-13, GitLogParser.cs:83-114)."""
+    from codetoneo4j_ray.pipelines.commits import file_versions, read_commits
+
+    return file_versions(read_commits(_commits_path(sf_dir)))
+
+
 def q_kg_mentions_raw(sf_dir: str) -> ray.data.Dataset:
     """Raw mention triples (relBuffer analog, pre-linking) — rows-only."""
     paths = ensure_kg(sf_dir)
@@ -385,6 +394,31 @@ def oracle_kg(sf_dir: str) -> dict[str, str]:
                 FROM {commits}
             )
             GROUP BY repo, path ORDER BY repo, path
+        """,
+        "kg_file_versions": f"""
+            WITH x AS (
+                SELECT repo, hash,
+                       CAST(floor(epoch(date)) AS BIGINT) AS sec,
+                       unnest(changed_paths) AS path, tags
+                FROM {commits}
+            ),
+            cc AS (
+                SELECT repo, path,
+                       string_agg(hash, chr(31) ORDER BY sec DESC, hash ASC)
+                           AS commits_csv
+                FROM x GROUP BY repo, path
+            ),
+            tc AS (
+                SELECT repo, path,
+                       string_agg(tag, chr(31) ORDER BY tag) AS tags_csv
+                FROM (SELECT DISTINCT repo, path, unnest(tags) AS tag FROM x)
+                GROUP BY repo, path
+            )
+            SELECT cc.repo, cc.path, cc.commits_csv,
+                   COALESCE(tc.tags_csv, '') AS tags_csv
+            FROM cc LEFT JOIN tc
+                ON cc.repo = tc.repo AND cc.path = tc.path
+            ORDER BY cc.repo, cc.path
         """,
         "kg_symbol_kinds": f"""
             SELECT language, kind, count(*) AS n

@@ -78,6 +78,9 @@ _COMMITS_SCHEMA = pa.schema(
         ("message", pa.string()),
         ("changed_paths", pa.list_(pa.string())),
         ("changed_deleted", pa.list_(pa.bool_())),
+        # git tags pointing at this commit (the ``tag:`` refs git log
+        # prints in %d — GitLogParser.cs:101-114 collects them per file)
+        ("tags", pa.list_(pa.string())),
     ]
 )
 
@@ -104,7 +107,7 @@ def ensure_commits(sf_dir: str) -> str:
     n_repos, filler = _scale(sf_from_dir(sf_dir))
     # the corpus generator version is part of the stamp: regenerated
     # corpora change file paths, and commits.changed_paths must follow
-    stamp = f"cv1:g{_GENERATOR_VERSION}:{n_repos}:{filler}:42"
+    stamp = f"cv2:g{_GENERATOR_VERSION}:{n_repos}:{filler}:42"
     current = None
     if os.path.exists(stamp_path):
         with open(stamp_path) as f:
@@ -206,9 +209,14 @@ def generate_commits(
             n_changed = 1 + rng.randrange(4)
             changed = sorted(rng.sample(paths, min(n_changed, len(paths))))
             deleted = [rng.random() < 0.05 for _ in changed]
+            # deterministic tag placement: every 4th commit is a release
+            # tag; every 8th carries an extra annotated tag
+            tags = [f"v{j // 4}.{ri % 3}"] if j % 4 == 0 else []
+            if j % 8 == 0:
+                tags.append(f"release-{repo}-{j}")
             rows.append(
                 (repo, h, author, email, date, f"commit {j}: update {repo}",
-                 changed, deleted)
+                 changed, deleted, tags)
             )
     cols = list(zip(*rows))
     return pa.table(

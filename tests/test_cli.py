@@ -70,3 +70,46 @@ def test_cli_supported_files(capsys):
     assert cli.main(["--show-supported-files"]) == 0
     out = capsys.readouterr().out
     assert "csharp" in out and "pubspec.yaml" in out
+
+
+def test_cli_build_with_commits_attaches_file_versions(
+    ray_session, tmp_path, monkeypatch, capsys
+):
+    """--commits rewrites files/ with commits/tags list columns
+    (UpsertFile.cypher:12-13 f.commits/f.tags)."""
+    import datetime as dt
+
+    import ray.data as rd
+
+    from codetoneo4j_ray import cli
+    from codetoneo4j_ray.sources.synth import _COMMITS_SCHEMA
+
+    p = _corpus(tmp_path)
+    utc = dt.timezone.utc
+    commit_rows = [
+        ("MyRepo", "h1", "Ada", "ada@x", dt.datetime(2024, 1, 1, tzinfo=utc),
+         "m", ["src/A.cs"], [False], ["v1.0"]),
+        ("MyRepo", "h2", "Ada", "ada@x", dt.datetime(2024, 1, 2, tzinfo=utc),
+         "m", ["src/A.cs"], [False], []),
+    ]
+    cols = list(zip(*commit_rows))
+    ct = pa.table(
+        {f.name: pa.array(list(cols[i]), f.type)
+         for i, f in enumerate(_COMMITS_SCHEMA)},
+        schema=_COMMITS_SCHEMA,
+    )
+    cp = str(tmp_path / "commits.parquet")
+    pq.write_table(ct, cp)
+
+    out = str(tmp_path / "cli_commits_out")
+    monkeypatch.setattr("ray.shutdown", lambda: None)
+    rc = cli.main(["build", "--input", p, "--output", out, "--commits", cp])
+    assert rc == 0
+    capsys.readouterr()
+    files = rd.read_parquet(f"{out}/files").to_pandas().set_index("path")
+    assert list(files.loc["src/A.cs", "commits"]) == ["h2", "h1"]
+    assert list(files.loc["src/A.cs", "tags"]) == ["v1.0"]
+    # commit subgraph outputs exist alongside
+    import os
+
+    assert os.path.isdir(f"{out}/commit_nodes")

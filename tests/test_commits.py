@@ -29,11 +29,11 @@ def _write(tmp_path, rows):
 
 ROWS = [
     ("RepoA", "h1", "Ada", "ada@x", dt.datetime(2024, 1, 1, tzinfo=UTC),
-     "first", ["src/A.cs", "src/B.cs"], [False, False]),
+     "first", ["src/A.cs", "src/B.cs"], [False, False], ["v1.0"]),
     ("RepoA", "h2", "Ada", "ada@x", dt.datetime(2024, 1, 3, tzinfo=UTC),
-     "second", ["src/A.cs"], [False]),
+     "second", ["src/A.cs"], [False], []),
     ("RepoA", "h3", "Bob", "bob@x", dt.datetime(2024, 1, 2, tzinfo=UTC),
-     "third", ["src/B.cs", "src/C.cs"], [False, True]),
+     "third", ["src/B.cs", "src/C.cs"], [False, True], ["v1.1"]),
 ]
 
 
@@ -109,3 +109,53 @@ def test_synth_commits_deterministic(ray_session):
                            t1["changed_paths"].to_pylist()):
         for p_ in paths:
             assert (repo, p_) in valid
+
+
+def test_file_versions_fold(commits_ds):
+    """Per-file commits (newest first) + distinct sorted tags
+    (FileMetadata.Commits/Tags — GitLogParser.cs:83-114)."""
+    from codetoneo4j_ray.pipelines.commits import _SEP, file_versions
+
+    df = file_versions(commits_ds).to_pandas().set_index("path")
+    assert df.loc["src/A.cs", "commits_csv"] == _SEP.join(["h2", "h1"])
+    assert df.loc["src/A.cs", "tags_csv"] == "v1.0"
+    assert df.loc["src/B.cs", "commits_csv"] == _SEP.join(["h3", "h1"])
+    assert df.loc["src/B.cs", "tags_csv"] == _SEP.join(["v1.0", "v1.1"])
+    assert df.loc["src/C.cs", "commits_csv"] == "h3"
+    assert df.loc["src/C.cs", "tags_csv"] == "v1.1"
+
+
+def test_attach_file_versions(commits_ds):
+    """files table gains commits/tags LIST columns; untracked files get
+    empty lists (UpsertFile.cypher:12-13)."""
+    import ray.data
+
+    from codetoneo4j_ray.pipelines.commits import attach_file_versions
+
+    def file_row(key, path):
+        return {
+            "key": key, "path": path, "file_name": path.rsplit("/", 1)[-1],
+            "namespace": "", "sha256": "x", "language": "csharp",
+            "technology": "dotnet", "repo": "RepoA", "commit": "c0",
+        }
+
+    files = ray.data.from_items(
+        [file_row("k-a", "src/A.cs"), file_row("k-d", "src/D.cs")]
+    )
+    out = attach_file_versions(files, commits_ds).to_pandas().set_index("key")
+    assert list(out.loc["k-a", "commits"]) == ["h2", "h1"]
+    assert list(out.loc["k-a", "tags"]) == ["v1.0"]
+    assert list(out.loc["k-d", "commits"]) == []
+    assert list(out.loc["k-d", "tags"]) == []
+    # original file columns survive the join
+    assert out.loc["k-a", "sha256"] == "x"
+    assert out.loc["k-d", "language"] == "csharp"
+
+
+def test_synth_commits_have_tags(ray_session):
+    from codetoneo4j_ray.sources.synth import ensure_commits
+
+    t = pq.read_table(ensure_commits("/root/testdata/sf0.001"))
+    assert "tags" in t.schema.names
+    tag_lists = [l for l in t["tags"].to_pylist() if l]
+    assert tag_lists, "synthetic history should carry some tags"
