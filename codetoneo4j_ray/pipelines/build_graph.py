@@ -16,6 +16,8 @@ full-index run (``SolutionProcessor.ProcessSolution``, SURVEY §3.1).
 
 from __future__ import annotations
 
+import os
+
 import pyarrow as pa
 import ray.data
 
@@ -71,10 +73,19 @@ def read_records(records_dir: str, rec_type: str | None = None) -> ray.data.Data
     """Read the (hive-partitioned by rec_type) records checkpoint.
 
     ``rec_type=...`` reads only that partition's files — the row-group
-    pruning that lets the files/symbols stages skip the mention bulk."""
+    pruning that lets the files/symbols stages skip the mention bulk.
+    A partition dir that was never written (e.g. a corpus producing zero
+    mentions) reads as a typed empty dataset, not a crash."""
     if rec_type is None:
         return ray.data.read_parquet(records_dir)
-    return ray.data.read_parquet(f"{records_dir}/rec_type={rec_type}")
+    part_dir = f"{records_dir}/rec_type={rec_type}"
+    if not os.path.isdir(part_dir):
+        from codetoneo4j_ray.stages.extract import RECORD_SCHEMA
+
+        # partition-dir reads drop the hive column; match that shape
+        empty = pa.schema([f for f in RECORD_SCHEMA if f.name != "rec_type"])
+        return ray.data.from_arrow(empty.empty_table())
+    return ray.data.read_parquet(part_dir)
 
 
 def _structural_input(records_dir, symbols, files):

@@ -74,7 +74,25 @@ def test_incremental_equals_full_rebuild(incr):
     for n in ("nodes", "edges", "files"):
         a = incr["incr"][n].reset_index(drop=True)
         b = incr["full"][n].reset_index(drop=True)
+        if n == "files":
+            # the incremental table additionally carries tombstones
+            # (MarkFileAsDeleted analog) — live rows must equal the
+            # fresh full rebuild exactly
+            a = a[~a["deleted"]].drop(columns=["deleted", "deleted_at"])
+            a = a.reset_index(drop=True)
         assert a.equals(b), f"{n} differs"
+
+
+def test_deleted_file_tombstone(incr):
+    """Deleted files stay as tombstone rows with their prior properties
+    (MarkFileAsDeleted.cypher:1-5: deleted=true, deletedAt set)."""
+    files = incr["incr"]["files"]
+    tomb = files[files["deleted"]]
+    assert list(tomb["path"]) == ["src/Gone.cs"]
+    assert tomb["deleted_at"].notna().all()
+    assert tomb["sha256"].notna().all()  # prior props carried
+    # tombstones and live rows are disjoint key sets
+    assert not (set(tomb["key"]) & set(files.loc[~files["deleted"], "key"]))
 
 
 def test_old_symbols_gone_new_present(incr):
@@ -148,6 +166,56 @@ def test_incremental_no_key_equals_full(ray_session, tmp_path):
         a = rd.read_parquet(f"{out2}/{n}").to_pandas().reset_index(drop=True)
         b = (rd.read_parquet(f"{out_full}/{n}").to_pandas()
              .reset_index(drop=True))
+        if n == "files":  # live rows only (tombstones are incremental-only)
+            a = (a[~a["deleted"]].drop(columns=["deleted", "deleted_at"])
+                 .reset_index(drop=True))
         assert a.equals(b), f"{n} differs"
     keys = set(rd.read_parquet(f"{out2}/nodes").to_pandas()["key"])
     assert ":N.B.New()" in keys and "r1:N.B.New()" not in keys
+
+
+def test_tombstone_chain_and_resurrection(ray_session, tmp_path):
+    """Tombstones carry across chained incrementals with their ORIGINAL
+    deleted_at; a reappearing file returns to live and re-extracts."""
+    from codetoneo4j_ray.pipelines.build_graph import build_graph
+    from codetoneo4j_ray.pipelines.incremental import build_graph_incremental
+    import ray.data as rd
+
+    a = ("r1", "src/A.cs", "c" * 40, "csharp",
+         "namespace N;\npublic class A { }")
+    gone = ("r1", "src/Gone.cs", "c" * 40, "csharp",
+            "namespace N;\npublic class Gone { }")
+    p1, p2, p3 = (str(tmp_path / f"v{i}.parquet") for i in (1, 2, 3))
+    pq.write_table(_corpus([a, gone]), p1)
+    pq.write_table(_corpus([a]), p2)            # Gone deleted
+    pq.write_table(_corpus([a, gone]), p3)      # Gone resurrected
+
+    out1 = str(tmp_path / "o1")
+    build_graph(p1, out1)
+
+    out2 = str(tmp_path / "o2")
+    m2 = build_graph_incremental(p2, out1, out2, deleted_at_sec=111)
+    f2 = rd.read_parquet(f"{out2}/files").to_pandas()
+    t2 = f2[f2["deleted"]]
+    assert list(t2["path"]) == ["src/Gone.cs"]
+    assert list(t2["deleted_at"]) == [111]
+    assert m2["tombstones"] == 1
+
+    # chained run, Gone still absent: stamp must NOT refresh
+    out3 = str(tmp_path / "o3")
+    m3 = build_graph_incremental(p2, out2, out3, deleted_at_sec=222)
+    f3 = rd.read_parquet(f"{out3}/files").to_pandas()
+    t3 = f3[f3["deleted"]]
+    assert list(t3["path"]) == ["src/Gone.cs"]
+    assert list(t3["deleted_at"]) == [111]      # original stamp carried
+    assert m3["deleted_files"] == 0 and m3["tombstones"] == 1
+
+    # resurrection: Gone reappears → re-extracted, tombstone drops
+    out4 = str(tmp_path / "o4")
+    m4 = build_graph_incremental(p3, out3, out4, deleted_at_sec=333)
+    f4 = rd.read_parquet(f"{out4}/files").to_pandas()
+    assert not f4["deleted"].any()
+    assert "src/Gone.cs" in set(f4["path"])
+    nodes4 = rd.read_parquet(f"{out4}/nodes").to_pandas()
+    assert "r1:N.Gone" in set(nodes4["key"])    # symbols re-extracted
+    assert m4["changed_files"] == 1 and m4["tombstones"] == 0
