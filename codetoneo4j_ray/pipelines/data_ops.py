@@ -14,6 +14,7 @@ import re
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -1559,43 +1560,77 @@ def top_orders(
     k: int = 10,
 ) -> ray.data.Dataset:
     """TPC-H Q3 shape: top-k unshipped orders by discounted revenue for
-    one market segment. Distributed plan: the segment custkey set is the
-    only broadcast (true dimension); orders and lineitem — both
-    fact-scale — meet in a hash-partitioned bucket join on orderkey with
-    lineitem pre-aggregated per batch; each bucket emits its local top-k
-    and one global merge ranks k·buckets candidate rows (exact, since an
-    order lives in exactly one bucket). Returns
+    one market segment. Distributed plan with no broadcast at all:
+    customer (linear in TPC-H — not a dimension at 100 TB) is filtered
+    to the segment per batch and semi-joins orders in a hash-partitioned
+    bucket join on custkey; the surviving (orderkey, date, priority)
+    stream then meets lineitem — pre-aggregated per batch — in a second
+    bucket join on orderkey; each bucket emits its local top-k and one
+    global merge ranks k·buckets candidate rows (exact, since an order
+    lives in exactly one bucket). Returns
     (o_orderkey, orderdate_sec, o_orderpriority, revenue_cents)."""
     cut = pd.Timestamp(cutoff)
 
-    def seg_filter(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        return batch.filter(pc.equal(batch["c_mktsegment"], segment))
-
-    seg_keys = set(
-        ray.data.read_parquet(
-            f"{sf_dir}/customer.parquet",
-            columns=["c_custkey", "c_mktsegment"],
+    def cust_side(batch: pa.Table) -> pa.Table:
+        sel = batch.filter(pc.equal(batch["c_mktsegment"], segment))
+        n = sel.num_rows
+        return pa.table(
+            {
+                "custkey": pc.cast(sel["c_custkey"], pa.int64()),
+                "orderkey": pa.nulls(n, pa.int64()),
+                "orderdate_sec": pa.nulls(n, pa.int64()),
+                "priority": pa.nulls(n, pa.string()),
+                "side": pa.array(["c"] * n, pa.string()),
+            }
         )
-        .map_batches(seg_filter, batch_format="pyarrow")
-        .to_pandas()["c_custkey"]
-    )
-    ref = ray.put(seg_keys)
 
-    def orders_side(batch: pa.Table) -> pa.Table:
+    def orders_key_side(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
-        df = df[(df["o_orderdate"] < cut)
-                & df["o_custkey"].isin(_cached_get(ref))]
+        df = df[df["o_orderdate"] < cut]
         n = len(df)
         return pa.table(
             {
+                "custkey": pa.array(df["o_custkey"], pa.int64()),
                 "orderkey": pa.array(df["o_orderkey"], pa.int64()),
                 "orderdate_sec": pa.array(
                     df["o_orderdate"].astype("datetime64[s]").astype("int64"),
                     pa.int64(),
                 ),
                 "priority": pa.array(df["o_orderpriority"], pa.string()),
+                "side": pa.array(["o"] * n, pa.string()),
+            }
+        )
+
+    def seg_orders(df: pd.DataFrame) -> pd.DataFrame:
+        keys = df.loc[df["side"] == "c", "custkey"]
+        o = df.loc[df["side"] == "o"]
+        o = o[o["custkey"].isin(set(keys))]
+        return pd.DataFrame(
+            {
+                "orderkey": o["orderkey"].astype("int64"),
+                "orderdate_sec": o["orderdate_sec"].astype("int64"),
+                "priority": o["priority"],
+            }
+        )
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(cust_side, batch_format="pyarrow")
+    order_keys = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(orders_key_side, batch_format="pyarrow")
+    seg_order_stream = bucketed_apply(
+        cust.union(order_keys), ["custkey"], seg_orders
+    )
+
+    def orders_side(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "orderkey": pc.cast(batch["orderkey"], pa.int64()),
+                "orderdate_sec": pc.cast(batch["orderdate_sec"], pa.int64()),
+                "priority": batch["priority"],
                 "revenue_cents": pa.nulls(n, pa.int64()),
                 "side": pa.array(["o"] * n, pa.string()),
             }
@@ -1621,10 +1656,7 @@ def top_orders(
             }
         )
 
-    orders = ray.data.read_parquet(
-        f"{sf_dir}/orders.parquet",
-        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
-    ).map_batches(orders_side, batch_format="pyarrow")
+    orders = seg_order_stream.map_batches(orders_side, batch_format="pyarrow")
     items = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
@@ -1661,29 +1693,70 @@ def top_orders(
 def revenue_by_nation(sf_dir: str) -> ray.data.Dataset:
     """lineitem ⋈ orders ⋈ customer ⋈ nation (TPC-H Q5-ish).
 
-    Join topology for fact-scale inputs: only the true dimensions
-    (customer ⋈ nation → custkey→n_name, bounded) are broadcast; the two
-    fact tables meet in a hash-partitioned bucket join on orderkey —
+    Join topology for fact-scale inputs: only nation (25 rows, the one
+    true dimension) is broadcast. Customer — linear in TPC-H, NOT a
+    dimension at 100 TB — meets orders in a hash-partitioned bucket
+    join on custkey (stage A); the (orderkey, n_name) stream then meets
+    lineitem in a second bucket join on orderkey (stage B) with
     lineitem pre-aggregated per (orderkey) inside map_batches first, so
-    the shuffle carries one row per order, not one per line item."""
-    customer = ray.data.read_parquet(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
-    ).to_pandas()
+    that shuffle carries one row per order, not one per line item. No
+    table is ever collected on the driver."""
     nation = ray.data.read_parquet(
         f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
     ).to_pandas()
-    dim = customer.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
-    cust_to_nation = dict(zip(dim["c_custkey"], dim["n_name"]))
-    ref = ray.put(cust_to_nation)
+    nation_ref = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
 
-    def orders_side(batch: pa.Table) -> pa.Table:
+    def cust_side(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
-        df["n_name"] = df["o_custkey"].map(_cached_get(ref))
+        df["n_name"] = df["c_nationkey"].map(_cached_get(nation_ref))
         n = len(df)
         return pa.table(
             {
-                "orderkey": pa.array(df["o_orderkey"], pa.int64()),
+                "custkey": pa.array(df["c_custkey"], pa.int64()),
+                "orderkey": pa.nulls(n, pa.int64()),
                 "n_name": pa.array(df["n_name"], pa.string()),
+                "side": pa.array(["c"] * n, pa.string()),
+            }
+        )
+
+    def orders_key_side(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "custkey": pc.cast(batch["o_custkey"], pa.int64()),
+                "orderkey": pc.cast(batch["o_orderkey"], pa.int64()),
+                "n_name": pa.nulls(n, pa.string()),
+                "side": pa.array(["o"] * n, pa.string()),
+            }
+        )
+
+    def attach_nation(df: pd.DataFrame) -> pd.DataFrame:
+        c = df.loc[df["side"] == "c", ["custkey", "n_name"]]
+        o = df.loc[df["side"] == "o", ["custkey", "orderkey"]]
+        m = o.merge(c, on="custkey", how="inner")
+        return pd.DataFrame(
+            {
+                "orderkey": m["orderkey"].astype("int64"),
+                "n_name": m["n_name"],
+            }
+        )
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(cust_side, batch_format="pyarrow")
+    orders_keys = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    ).map_batches(orders_key_side, batch_format="pyarrow")
+    order_nation = bucketed_apply(
+        cust.union(orders_keys), ["custkey"], attach_nation
+    )
+
+    def orders_side(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "orderkey": pc.cast(batch["orderkey"], pa.int64()),
+                "n_name": batch["n_name"],
                 "revenue_cents": pa.nulls(n, pa.int64()),
                 "n_items": pa.nulls(n, pa.int64()),
                 "side": pa.array(["o"] * n, pa.string()),
@@ -1709,9 +1782,7 @@ def revenue_by_nation(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    orders = ray.data.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
-    ).map_batches(orders_side, batch_format="pyarrow")
+    orders = order_nation.map_batches(orders_side, batch_format="pyarrow")
     items = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
