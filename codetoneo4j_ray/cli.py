@@ -20,7 +20,11 @@ Option parity:
   --min-accessibility   accessibility gate (AccessibilityFilter.cs)
   --batch-size          stage-1 extraction batch size (Program.cs:71-73
                         flush batching analog)
-  --mode                broadcast | partitioned (single vs multi node)
+  --mode                auto | broadcast | partitioned — auto (default)
+                        picks partitioned iff the Ray cluster reports
+                        more than one alive node, so the broadcast-mode
+                        driver structures are never the multi-node
+                        default (override explicitly either way)
   --commits             commits side table → commit subgraph
                         (the --diff-base git-ingestion analog)
   --packages            package-metadata side table (nuspec analog)
@@ -48,8 +52,8 @@ def _build_parser() -> argparse.ArgumentParser:
                         choices=["Private", "Protected", "Internal",
                                  "ProtectedOrInternal", "Public"])
         sp.add_argument("--batch-size", type=int, default=64)
-        sp.add_argument("--mode", default="broadcast",
-                        choices=["broadcast", "partitioned"])
+        sp.add_argument("--mode", default="auto",
+                        choices=["auto", "broadcast", "partitioned"])
         sp.add_argument("--commits", help="commits side-table parquet")
         sp.add_argument("--packages", help="package-metadata parquet")
         sp.add_argument("--no-resume", action="store_true")

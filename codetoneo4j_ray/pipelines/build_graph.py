@@ -218,10 +218,26 @@ def _files_output(files):
     return lww_sorted(finalize_files(files), "key", _FILE_TIEBREAK)
 
 
+def resolve_mode(mode: str) -> str:
+    """Resolve "auto" to a concrete linking mode from cluster topology:
+    "partitioned" when more than one alive node is attached (the
+    broadcast-mode driver-side structures must never be the default on
+    a real cluster), "broadcast" on a single node (lowest latency while
+    the index fits one machine). Explicit modes pass through so either
+    can still be forced per run."""
+    if mode != "auto":
+        return mode
+    try:
+        alive = [n for n in ray.nodes() if n.get("Alive")]
+    except Exception:
+        return "broadcast"
+    return "partitioned" if len(alive) > 1 else "broadcast"
+
+
 def graph_from_records(
     records: ray.data.Dataset | None = None,
     records_dir: str | None = None,
-    mode: str = "broadcast",
+    mode: str = "auto",
     no_key: bool = False,
 ) -> dict[str, ray.data.Dataset]:
     """Stages 2–4 from a (re-readable) record stream.
@@ -230,6 +246,8 @@ def graph_from_records(
     pruned reads, or an in-memory/materialized ``records`` dataset.
 
     ``mode``:
+      - "auto"        — partitioned iff the cluster has >1 node
+        (``resolve_mode``).
       - "broadcast"   — member index + symbol-key set built on the driver
         and broadcast via ray.put: lowest latency while they fit one node.
       - "partitioned" — stage 2 runs as hash-partitioned bucket joins on
@@ -237,6 +255,7 @@ def graph_from_records(
         configuration (scaling benches run this mode).
     Returns lazy datasets: nodes, edges, files, mentions_raw.
     """
+    mode = resolve_mode(mode)
     symbols, files, raw_mentions, records = _record_parts(records, records_dir)
     edges, resolved = _edges_output(raw_mentions, symbols, records, mode,
                                     no_key)
@@ -254,12 +273,13 @@ def build_graph(
     min_accessibility: str = DEFAULT_MIN_ACCESSIBILITY,
     resume: bool = True,
     concurrency=None,
-    mode: str = "broadcast",
+    mode: str = "auto",
     packages_path: str | None = None,
     no_key: bool = False,
     batch_size: int = 64,
 ) -> dict:
     """Full run with a records checkpoint; returns metrics."""
+    mode = resolve_mode(mode)
     pkg_stat = None
     if packages_path is not None:
         import os

@@ -44,6 +44,7 @@ from codetoneo4j_ray.pipelines.build_graph import (
     graph_from_records,
     read_corpus,
     read_records,
+    resolve_mode,
 )
 from codetoneo4j_ray.stages.extract import build_type_index, extract_records
 from codetoneo4j_ray.state.manifest import corpus_fingerprint, write_manifest
@@ -246,7 +247,7 @@ def build_graph_incremental(
     out_dir: str,
     min_accessibility: str = DEFAULT_MIN_ACCESSIBILITY,
     concurrency=None,
-    mode: str = "broadcast",
+    mode: str = "auto",
     packages_path: str | None = None,
     no_key: bool = False,
     batch_size: int = 64,
@@ -268,6 +269,7 @@ def build_graph_incremental(
             "read is lazy, and rebuilding in place would delete the prior "
             "checkpoint before it is read"
         )
+    mode = resolve_mode(mode)  # concrete mode into the run fingerprint
     pkg_meta = None
     if packages_path is not None:
         from codetoneo4j_ray.stages.extract import load_pkg_meta

@@ -113,3 +113,25 @@ def test_cli_build_with_commits_attaches_file_versions(
     import os
 
     assert os.path.isdir(f"{out}/commit_nodes")
+
+
+def test_auto_mode_resolution(monkeypatch):
+    """'auto' picks partitioned iff >1 alive node: the broadcast-mode
+    driver structures must never be the default on a real cluster
+    (VERDICT r2 item 7); explicit modes always pass through."""
+    from codetoneo4j_ray.pipelines.build_graph import resolve_mode
+
+    one = [{"NodeID": "a", "Alive": True}]
+    many = [{"NodeID": "a", "Alive": True}, {"NodeID": "b", "Alive": True}]
+    dead_tail = [{"NodeID": "a", "Alive": True}, {"NodeID": "b", "Alive": False}]
+
+    monkeypatch.setattr("ray.nodes", lambda: one)
+    assert resolve_mode("auto") == "broadcast"
+    monkeypatch.setattr("ray.nodes", lambda: many)
+    assert resolve_mode("auto") == "partitioned"
+    # a departed node must not flip a single-node cluster to partitioned
+    monkeypatch.setattr("ray.nodes", lambda: dead_tail)
+    assert resolve_mode("auto") == "broadcast"
+    # explicit override wins regardless of topology
+    assert resolve_mode("broadcast") == "broadcast"
+    assert resolve_mode("partitioned") == "partitioned"
