@@ -40,9 +40,34 @@ _NOT_CALLS = frozenset(
 )
 
 
+_ANALYZER_SKIP_DIRS = frozenset(
+    {"node_modules", "dist", "build", ".next", ".nuxt", "coverage", ".git"}
+)
+
+
+def _analyzer_excluded(path: str) -> bool:
+    """Files the reference's node analyzer never returns results for:
+    declaration files (analyzer.ts:39), generated files (analyzer.ts:42,
+    107-119) and skipped directories incl. dot-dirs (analyzer.ts:70,91).
+    The C# handler still emits the File record for them — HandleFile
+    returns an empty FileResult (TypeScriptHandlerBase.cs:62-66) — so the
+    extractor skips symbols/relationships but keeps the file row."""
+    base = path.rsplit("/", 1)[-1].lower()
+    if base.endswith(".d.ts"):
+        return True
+    if base.endswith((".generated.ts", ".gen.ts", ".generated.js", ".gen.js")):
+        return True
+    return any(
+        s.lower() in _ANALYZER_SKIP_DIRS or s.startswith(".")
+        for s in path.split("/")[:-1]
+    )
+
+
 def extract_typescript(ctx: FileContext, min_accessibility: str, kind_prefix: str = "TypeScript") -> None:
     ns_dir = dirname(ctx.path)
     ctx.file_namespace_override = ns_dir
+    if _analyzer_excluded(ctx.path):
+        return
     project = ctx.repo
     toks = [t for t in tokenize(ctx.content) if t.kind not in ("comment", "doc")]
     trivia = _leading_trivia_map(ctx.content)
@@ -202,7 +227,7 @@ class _Scanner:
                 break
             head = self.v(j)
 
-            if head == "class" and self.k(j + 1) == "id":
+            if head == "class" and (self.k(j + 1) == "id" or "default" in mods):
                 i = self._handle_class(i, j, mods, decorators, current_class)
                 continue
             if head == "interface" and self.k(j + 1) == "id":
@@ -285,9 +310,17 @@ class _Scanner:
     # ---- declarations -------------------------------------------------
     def _handle_class(self, i, j, mods, decorators, outer_class) -> int:
         t = self.toks[i]
-        name = self.v(j + 1)
+        # anonymous `export default class {}`: named 'default' with the
+        # `@proj/path#default` fqn form (visitor.ts:100-101)
+        anon = self.k(j + 1) != "id"
+        name = "default" if anon else self.v(j + 1)
+        fqn = (
+            f"@{self.project}/{self.ctx.path}#default"
+            if anon
+            else self._fqn(name, None)
+        )
         is_abstract = "abstract" in mods
-        jj = j + 2
+        jj = j + 1 if anon else j + 2
         if self.v(jj) == "<":
             jj = self._match_balanced(jj, "<", ">") + 1
         heritage: list[tuple[str, str]] = []
@@ -311,7 +344,7 @@ class _Scanner:
         doc, com = self.trivia.get(t.line, (None, None))
         self._emit_symbol(
             name, "AbstractClass" if is_abstract else "Class", "class",
-            self._fqn(name, None), t.line, end_line,
+            fqn, t.line, end_line,
             self._accessibility(mods), doc, com,
         )
         for tname, rel_kind in heritage:
