@@ -162,23 +162,23 @@ def _burn(n: int) -> int:
     return s
 
 
+def _burn_time(procs: int, work: int = 192, unit: int = 2_000_000) -> float:
+    """Wall time of a fixed pure-CPU workload split over ``procs``
+    processes — the host-speed probe the ceiling is computed from."""
+    import multiprocessing as mp
+
+    t0 = time.perf_counter()
+    with mp.Pool(procs) as p:
+        p.map(_burn, [unit] * work)
+    return time.perf_counter() - t0
+
+
 def measure_env_ceiling(lo: int = 8, hi: int = 32) -> float:
     """The sandbox's parallel-scaling ceiling: speedup/(hi/lo) of a pure
     CPU-bound multiprocessing workload. Virtualized hosts cap well below
     1.0 (frequency scaling / steal / memory bandwidth); pipeline scaling
     efficiency should be read against this ceiling."""
-    import multiprocessing as mp
-
-    work, unit = 192, 2_000_000
-
-    def run(procs: int) -> float:
-        t0 = time.perf_counter()
-        with mp.Pool(procs) as p:
-            p.map(_burn, [unit] * work)
-        return time.perf_counter() - t0
-
-    t_lo, t_hi = run(lo), run(hi)
-    return round((t_lo / t_hi) / (hi / lo), 3)
+    return round((_burn_time(lo) / _burn_time(hi)) / (hi / lo), 3)
 
 
 def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
@@ -187,31 +187,44 @@ def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
     Defaults to a 4x corpus (sf0.2-scale) unless GRAFT_SCALING_SF_DIR is
     set: at the default bench scale the synthetic files are tiny and
     Ray's exchange latency dominates; the larger input runs the pipeline
-    in the bandwidth-bound regime it is designed for."""
+    in the bandwidth-bound regime it is designed for.
+
+    Each CPU-level phase is SANDWICHED between two host-speed probes
+    (same pure-CPU burn, same proc count as the phase), and the ceiling
+    is computed from the phase-adjacent probe means — so a slow VM
+    window during one phase lowers that phase's probe too instead of
+    mispricing the whole run (a single post-hoc probe did exactly that
+    in round 2). ``probe_drift_N`` = after/before per phase; a drift far
+    from 1.0 flags intra-phase host-speed movement."""
     sf_dir = os.environ.get("GRAFT_SCALING_SF_DIR", "/root/testdata/sf0.2")
     # pre-generate the corpus once so both runs read identical input
     from codetoneo4j_ray.sources.synth import ensure_corpus
 
     ensure_corpus(sf_dir)
 
-    def one(ncpu: int) -> dict:
+    def one(ncpu: int) -> tuple[dict, float, float]:
         # scaling runs use the multi-node (partitioned) linking mode:
         # zero serial driver work, so throughput tracks cluster size
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir,
                    GRAFT_KG_MODE=os.environ.get("GRAFT_KG_MODE", "partitioned"),
                    GRAFT_BENCH_ONLY=os.environ.get("GRAFT_BENCH_ONLY", "kg"))
+        probe_before = _burn_time(ncpu)
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         ).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        probe_after = _burn_time(ncpu)
+        burn = (probe_before + probe_after) / 2
+        drift = probe_after / probe_before
+        return json.loads(out.strip().splitlines()[-1]), burn, drift
 
-    r_lo, r_hi = one(lo), one(hi)
+    (r_lo, burn_lo, drift_lo), (r_hi, burn_hi, drift_hi) = one(lo), one(hi)
     t_lo = r_lo["queries"]["kg_build"]
     t_hi = r_hi["queries"]["kg_build"]
     eff = (t_lo / t_hi) / (hi / lo)
-    ceiling = measure_env_ceiling(lo, hi)
+    # phase-paired ceiling: lo-phase host speed over hi-phase host speed
+    ceiling = round((burn_lo / burn_hi) / (hi / lo), 3)
     return {
         "metric": "kg_build scaling efficiency",
         "mode": os.environ.get("GRAFT_KG_MODE", "partitioned"),
@@ -222,6 +235,10 @@ def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
         f"files_per_sec_{hi}": r_hi["kg_files_per_sec"],
         f"stage1_sec_{lo}": r_lo["queries"].get("kg_stage1"),
         f"stage1_sec_{hi}": r_hi["queries"].get("kg_stage1"),
+        f"burn_sec_{lo}": round(burn_lo, 3),
+        f"burn_sec_{hi}": round(burn_hi, 3),
+        f"probe_drift_{lo}": round(drift_lo, 3),
+        f"probe_drift_{hi}": round(drift_hi, 3),
         "speedup": round(t_lo / t_hi, 3),
         "scaling_efficiency": round(eff, 3),
         "env_parallel_ceiling": ceiling,
