@@ -73,7 +73,11 @@ def extract_file(
             # repo-wide index the C# extractor uses
             fn(ctx, min_accessibility, repo_index or _EMPTY_INDEX)
         elif handler.name in ("typescript", "javascript"):
-            fn(ctx, min_accessibility, handler.kind_prefix)
+            # repo_index carries the project-root manifest map; None (the
+            # unit-test path) keeps the project≈repo fallback
+            fn(ctx, min_accessibility, handler.kind_prefix, repo_index)
+        elif handler.name == "dart":
+            fn(ctx, min_accessibility, repo_index)
         else:
             fn(ctx, min_accessibility)
     except RecursionError:

@@ -271,6 +271,12 @@ class RepoTypeIndex:
         self.types: dict[tuple[str, int], TypeInfo] = {}   # (full_name, arity) → info
         self.namespaces: set[str] = set()
         self.global_usings: list[tuple[str, str]] = []     # (source file_key, namespace text)
+        # project-root markers for the node ecosystems, dir → declared
+        # name (None when the manifest has no parseable name): the
+        # FindProjectRoot walk of TypeScriptHandlerBase.cs:116 /
+        # DartHandler.cs:104 over the corpus's own manifest rows
+        self.npm_roots: dict[str, str | None] = {}   # dirs holding package.json
+        self.pub_roots: dict[str, str | None] = {}   # dirs holding pubspec.yaml
 
     def add_type(self, info: TypeInfo) -> None:
         key = (info.full_name, info.arity)

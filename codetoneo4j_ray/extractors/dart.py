@@ -6,8 +6,16 @@ record construction (``src/CodeToNeo4j/Technologies/Dart/DartHandler.cs:73-95``)
 as a token scanner (no Dart SDK here):
 
   - symbol key   = ``{fileKey}:{Kind}:{name}:{startLine}``
-  - fqn          = ``package:{pkg}/{path}::[Class.]name`` — pkg ≈ repo
-  - namespace    = ``package:{pkg}/{dir}``
+  - fqn          = ``package:{pkg}/{relPath}::[Class.]name`` — pkg =
+    the nearest-ancestor ``pubspec.yaml``'s ``name:`` (basename
+    fallback, ``analyzer_service.dart:104-117``), relPath = path
+    relative to that project root; files with NO pubspec ancestor keep
+    their File record but skip analysis (``DartHandler.cs:34-40``).
+    Direct ``extract_file(..., repo_index=None)`` calls (unit tests)
+    fall back to pkg ≈ repo with solution-relative paths.
+  - namespace    = ``package:{pkg}/{dir}`` (dir '.' for project-root
+    files — the visitor does not special-case p.dirname's '.',
+    ast_visitor.dart:26-30)
   - accessibility: leading ``_`` → Private; @protected → Protected;
     @visibleForTesting → Internal (ast_visitor.dart:41-49)
   - relationship keys use the visitor's lowercase kinds → dangling at
@@ -38,12 +46,25 @@ _NOT_CALLS = frozenset(
 )
 
 
-def extract_dart(ctx: FileContext, min_accessibility: str) -> None:
+def extract_dart(ctx: FileContext, min_accessibility: str, repo_index=None) -> None:
+    from codetoneo4j_ray.extractors.typescript import _nearest_root
+
     ns_dir = dirname(ctx.path)
     ctx.file_namespace_override = ns_dir
+    if repo_index is None:
+        pkg, rel = ctx.repo, ctx.path
+    else:
+        hit = _nearest_root(ctx.path, repo_index.pub_roots)
+        if hit is None:
+            # no pubspec.yaml ancestor → File record only, no analysis
+            # (DartHandler.cs:34-40)
+            return
+        root_dir, name = hit
+        pkg = name or (root_dir.rsplit("/", 1)[-1] if root_dir else ctx.repo)
+        rel = ctx.path[len(root_dir) + 1:] if root_dir else ctx.path
     toks = [t for t in tokenize(ctx.content) if t.kind not in ("comment", "doc")]
     trivia = _doc_map(ctx.content)
-    s = _DartScanner(ctx, toks, trivia, min_accessibility)
+    s = _DartScanner(ctx, toks, trivia, min_accessibility, pkg, rel)
     s.scan(0, len(toks), current_class=None, class_kind=None)
 
 
@@ -64,12 +85,16 @@ def _doc_map(content: str) -> dict[int, str]:
 
 
 class _DartScanner:
-    def __init__(self, ctx, toks: list[Token], trivia, min_acc):
+    def __init__(self, ctx, toks: list[Token], trivia, min_acc,
+                 pkg: str | None = None, rel_path: str | None = None):
         self.ctx = ctx
         self.toks = toks
         self.trivia = trivia
         self.min_acc = min_acc
-        self.pkg = ctx.repo
+        self.pkg = pkg if pkg is not None else ctx.repo
+        # project-relative path (the visitor's _relativePath,
+        # ast_visitor.dart:25): fqn/namespace + relationship from-names
+        self.rel_path = rel_path if rel_path is not None else ctx.path
 
     def v(self, i):
         return self.toks[i].value if 0 <= i < len(self.toks) else ""
@@ -140,13 +165,15 @@ class _DartScanner:
         return acc.level(accessibility) >= acc.level(self.min_acc)
 
     def _fqn(self, name, current_class):
-        base = f"package:{self.pkg}/{self.ctx.path}"
+        base = f"package:{self.pkg}/{self.rel_path}"
         if current_class:
             return f"{base}::{current_class}.{name}"
         return f"{base}::{name}"
 
     def _namespace(self):
-        return f"package:{self.pkg}/{dirname(self.ctx.path)}"
+        # p.dirname of a root-level file is '.' and the visitor keeps it
+        # (ast_visitor.dart:26-30)
+        return f"package:{self.pkg}/{dirname(self.rel_path) or '.'}"
 
     def _emit(self, name, kind, class_str, fqn, line, end_line, accessibility, doc,
               containing=None):
@@ -189,7 +216,7 @@ class _DartScanner:
                         uri = self.toks[j].value.strip("'\"")
                     j += 1
                 if uri:
-                    self._rel("file", self.ctx.path, t.line, "file", uri, DEPENDS_ON)
+                    self._rel("file", self.rel_path, t.line, "file", uri, DEPENDS_ON)
                 i = j + 1
                 continue
 
@@ -208,7 +235,7 @@ class _DartScanner:
                 # top-level call (rare): attributed to the file
                 if self.v(i + 1) == "(" and v not in _NOT_CALLS:
                     to_kind = "constructor" if v[:1].isupper() else "method"
-                    self._rel("file", self.ctx.path, t.line, to_kind, v, INVOKES)
+                    self._rel("file", self.rel_path, t.line, to_kind, v, INVOKES)
             i += 1
 
     def _handle_type(self, i, j, keyword, anns, doc):
@@ -422,7 +449,7 @@ class _DartScanner:
 
     def _scan_calls(self, start, end, class_name, class_kind):
         """INVOKES from the class (or file) — ast_visitor.dart:430-485."""
-        from_name = class_name if class_name else self.ctx.path
+        from_name = class_name if class_name else self.rel_path
         from_kind = class_kind if class_name else "file"
         seen = set()
         i = start

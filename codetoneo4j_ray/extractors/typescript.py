@@ -6,7 +6,13 @@ construction (``Technologies/Web/TypeScriptHandlerBase.cs:66-110``) as a
 token-scanning extractor (no tsc available):
 
   - symbol key   = ``{fileKey}:{Kind}:{name}:{startLine}``
-  - symbol fqn   = ``@{project}/{path}::[Class.]name`` — project ≈ repo
+  - symbol fqn   = ``@{project}/{relPath}::[Class.]name`` — project =
+    the nearest-ancestor ``package.json``'s ``name`` (basename fallback,
+    ``analyzer.ts:52-66``), relPath = path relative to that project
+    root; files with NO package.json ancestor keep their File record
+    but skip analysis (``TypeScriptHandlerBase.cs:36-41``). Direct
+    ``extract_file(..., repo_index=None)`` calls (unit tests) fall back
+    to project ≈ repo with solution-relative paths.
   - namespace    = ``@{project}/{dir}``
   - relationship endpoint keys use the visitor's lowercase kinds
     ('class' / 'method' / 'file' / 'package' …), which never coincide
@@ -63,15 +69,46 @@ def _analyzer_excluded(path: str) -> bool:
     )
 
 
-def extract_typescript(ctx: FileContext, min_accessibility: str, kind_prefix: str = "TypeScript") -> None:
+def _nearest_root(path: str, roots: dict[str, str | None]):
+    """Nearest ancestor dir holding a manifest — the FindProjectRoot
+    walk (TypeScriptHandlerBase.cs:116-133) over corpus-relative dirs."""
+    d = dirname(path)
+    while True:
+        if d in roots:
+            return d, roots[d]
+        if d == "":
+            return None
+        d = dirname(d)
+
+
+def extract_typescript(
+    ctx: FileContext,
+    min_accessibility: str,
+    kind_prefix: str = "TypeScript",
+    repo_index=None,
+) -> None:
     ns_dir = dirname(ctx.path)
     ctx.file_namespace_override = ns_dir
     if _analyzer_excluded(ctx.path):
         return
-    project = ctx.repo
+    if repo_index is None:
+        # direct/unit-test invocation: project ≈ repo, solution-relative
+        # paths (the visitor tests' PROJECT/REL_PATH inputs)
+        project, rel = ctx.repo, ctx.path
+    else:
+        hit = _nearest_root(ctx.path, repo_index.npm_roots)
+        if hit is None:
+            # no package.json ancestor → File record only, no analysis
+            # (TypeScriptHandlerBase.cs:36-41)
+            return
+        root_dir, name = hit
+        # project name: package.json 'name', else basename(projectRoot)
+        # (analyzer.ts:52-66); a corpus-root project falls back to repo
+        project = name or (root_dir.rsplit("/", 1)[-1] if root_dir else ctx.repo)
+        rel = ctx.path[len(root_dir) + 1:] if root_dir else ctx.path
     toks = [t for t in tokenize(ctx.content) if t.kind not in ("comment", "doc")]
     trivia = _leading_trivia_map(ctx.content)
-    s = _Scanner(ctx, toks, trivia, project, min_accessibility, kind_prefix)
+    s = _Scanner(ctx, toks, trivia, project, min_accessibility, kind_prefix, rel)
     s.scan(0, len(toks), current_class=None, class_kind=None, in_method=None)
 
 
@@ -97,13 +134,17 @@ def _leading_trivia_map(content: str) -> dict[int, tuple[str | None, str | None]
 
 
 class _Scanner:
-    def __init__(self, ctx, toks: list[Token], trivia, project, min_acc, kind_prefix):
+    def __init__(self, ctx, toks: list[Token], trivia, project, min_acc,
+                 kind_prefix, rel_path: str | None = None):
         self.ctx = ctx
         self.toks = toks
         self.trivia = trivia
         self.project = project
         self.min_acc = min_acc
         self.prefix = kind_prefix
+        # project-relative path: the visitor's relativePath input, used
+        # for fqn/namespace and the import from-name (visitor.ts:409-418)
+        self.rel_path = rel_path if rel_path is not None else ctx.path
 
     # ---- helpers ------------------------------------------------------
     def v(self, i: int) -> str:
@@ -149,13 +190,13 @@ class _Scanner:
         return acc.level(accessibility) >= acc.level(self.min_acc)
 
     def _fqn(self, name: str, current_class: str | None) -> str:
-        prefix = f"@{self.project}/{self.ctx.path}"
+        prefix = f"@{self.project}/{self.rel_path}"
         if current_class:
             return f"{prefix}::{current_class}.{name}"
         return f"{prefix}::{name}"
 
     def _namespace(self) -> str:
-        d = dirname(self.ctx.path)
+        d = dirname(self.rel_path)
         return f"@{self.project}/{d}"
 
     def _rel_key(self, file_key: str, kind: str, name: str, line: int | None) -> str:
@@ -315,7 +356,7 @@ class _Scanner:
         anon = self.k(j + 1) != "id"
         name = "default" if anon else self.v(j + 1)
         fqn = (
-            f"@{self.project}/{self.ctx.path}#default"
+            f"@{self.project}/{self.rel_path}#default"
             if anon
             else self._fqn(name, None)
         )
@@ -458,18 +499,20 @@ class _Scanner:
                 spec = self.toks[jj].value.strip("'\"")
             jj += 1
         if spec:
+            # from-name = the visitor's project-relative relativePath
+            # (visitor.ts rel.FromSymbol; TypeScriptHandlerBase.cs:105)
             is_relative = spec.startswith(".") or spec.startswith("/")
             if is_relative:
                 to_file = self._resolve_relative(spec)
                 self.ctx.add_mention(
-                    self._rel_key(self.ctx.file_key, "file", self.ctx.path, t.line),
+                    self._rel_key(self.ctx.file_key, "file", self.rel_path, t.line),
                     DEPENDS_ON,
                     self._rel_key(to_file, "file", to_file or spec, None),
                 )
             else:
                 pkg_root = spec.split("/")[0]
                 self.ctx.add_mention(
-                    self._rel_key(self.ctx.file_key, "file", self.ctx.path, t.line),
+                    self._rel_key(self.ctx.file_key, "file", self.rel_path, t.line),
                     DEPENDS_ON,
                     self._rel_key(self.ctx.file_key, "package", pkg_root, None),
                 )

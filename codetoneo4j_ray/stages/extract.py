@@ -72,6 +72,9 @@ RECORD_SCHEMA = pa.schema(
     ]
 )
 
+# shared empty index for repos the pass-A skim produced no rows for
+_NO_SKIM_INDEX = RepoTypeIndex()
+
 _TYPE_INDEX_SCHEMA = pa.schema(
     [
         ("rec_type", pa.string()),       # "type" | "global_using"
@@ -95,14 +98,50 @@ def _is_csharp_row(path: str) -> bool:
     return path.endswith(".cs") and not is_excluded(path)
 
 
+def _manifest_name(path: str, content: str) -> tuple[str, str | None] | None:
+    """(ecosystem, declared name|None) for project-root manifest rows.
+
+    package.json name per analyzer.ts:55-60; pubspec.yaml first 'name:'
+    line per analyzer_service.dart:109-114. Unparseable manifests still
+    mark a root (name None → basename fallback at the use site)."""
+    base = path.rsplit("/", 1)[-1].lower()
+    if base == "package.json":
+        try:
+            import json
+
+            name = json.loads(content).get("name")
+        except Exception:
+            name = None
+        return "npm", (name if isinstance(name, str) and name else None)
+    if base == "pubspec.yaml":
+        for line in content.splitlines():
+            t = line.strip()
+            if t.startswith("name:"):
+                return "pub", (t[len("name:"):].strip() or None)
+        return "pub", None
+    return None
+
+
 def skim_batch(batch: pa.Table) -> pa.Table:
-    """Pass-A batch fn: C# declaration skim → type-index rows."""
+    """Pass-A batch fn: C# declaration skim + project-root manifest
+    markers → type-index rows."""
+    from codetoneo4j_ray.functions.text import dirname
+
     rows: list[dict] = []
     repos = batch["repo"].to_pylist()
     paths = batch["path"].to_pylist()
     contents = batch["content"].to_pylist()
     for repo, path, content in zip(repos, paths, contents):
-        if not _is_csharp_row(path):
+        if is_excluded(path):
+            continue
+        m = _manifest_name(path, content)
+        if m is not None:
+            rows.append(
+                {"rec_type": "pkg_root", "repo": repo, "kind": m[0],
+                 "full_name": m[1], "file_key": dirname(path)}
+            )
+            continue
+        if not path.endswith(".cs"):
             continue
         type_rows, using_rows = skim_file(repo, path, content)
         for r in type_rows:
@@ -147,15 +186,15 @@ def build_type_index(corpus: ray.data.Dataset) -> dict[str, RepoTypeIndex]:
         )
         for repo, g in df.groupby("repo", sort=False):
             idx = RepoTypeIndex()
-            tmask = (g["rec_type"] == "type").to_numpy()
-            for is_type, full, arity, isval, kind, bases, tparams, mem, fk, text in zip(
-                tmask, g["full_name"].to_numpy(), g["arity"].to_numpy(),
+            rec_types = g["rec_type"].to_numpy()
+            for rec, full, arity, isval, kind, bases, tparams, mem, fk, text in zip(
+                rec_types, g["full_name"].to_numpy(), g["arity"].to_numpy(),
                 g["is_value"].to_numpy(), g["kind"].to_numpy(),
                 g["bases"].to_numpy(), g["type_params"].to_numpy(),
                 g["members"].to_numpy(),
                 g["file_key"].to_numpy(), g["text"].to_numpy(),
             ):
-                if is_type:
+                if rec == "type":
                     from codetoneo4j_ray.extractors.csharp.extractor import (
                         parse_member_types,
                     )
@@ -168,6 +207,9 @@ def build_type_index(corpus: ray.data.Dataset) -> dict[str, RepoTypeIndex]:
                             parse_member_types(mem),
                         )
                     )
+                elif rec == "pkg_root":
+                    roots = idx.npm_roots if kind == "npm" else idx.pub_roots
+                    roots[fk] = full if isinstance(full, str) else None
                 else:
                     idx.global_usings.append((fk, text))
             repos.append(repo)
@@ -207,9 +249,14 @@ class ExtractRecords:
         commits = batch["commit"].to_pylist()
         contents = batch["content"].to_pylist()
         for repo, path, commit, content in zip(repos, paths, commits, contents):
+            # repos with no skim rows get the shared empty index rather
+            # than None: in pipeline context "no manifest anywhere" must
+            # mean the TS/Dart handlers SKIP analysis (the reference's
+            # no-project-root behavior), not the unit-test fallback
             ctx = extract_file(
                 repo, path, content, self.min_accessibility,
-                self.indices.get(repo), self.pkg_meta, self.no_key,
+                self.indices.get(repo, _NO_SKIM_INDEX), self.pkg_meta,
+                self.no_key,
             )
             if ctx is None:
                 continue
@@ -347,6 +394,11 @@ def extract_records_partitioned(
                             parse_member_types(row.members),
                         )
                     )
+                elif row.rec_type == "pkg_root":
+                    roots = idx.npm_roots if row.kind == "npm" else idx.pub_roots
+                    roots[row.file_key] = (
+                        row.full_name if isinstance(row.full_name, str) else None
+                    )
                 else:
                     idx.global_usings.append((row.file_key, row.text))
         rows: list[dict] = []
@@ -355,7 +407,7 @@ def extract_records_partitioned(
             c_part["repo"], c_part["path"], c_part["commit"], c_part["content"]
         ):
             ctx = extract_file(repo, path, content, min_accessibility,
-                              indices.get(repo), meta, no_key)
+                              indices.get(repo, _NO_SKIM_INDEX), meta, no_key)
             if ctx is None:
                 continue
             for s in ctx.symbols:

@@ -115,6 +115,12 @@ def test_modes_agree_on_cross_repo_shaped_corpus(tmp_path):
     from codetoneo4j_ray.schema import CORPUS_SCHEMA
 
     rows = [
+        # each repo needs a package.json ancestor for TS analysis to run
+        # (TypeScriptHandlerBase.cs:36-41)
+        ("repoA", "client/package.json", "c" * 40, "json",
+         '{"name": "client-a"}'),
+        ("repoB", "client/package.json", "c" * 40, "json",
+         '{"name": "client-b"}'),
         ("repoA", "client/src/app.ts", "c" * 40, "typescript",
          'import { fmt } from "./util";\nexport function go() { fmt(1); }\n'),
         # repoB declares client/src/util.ts — repoA does NOT
