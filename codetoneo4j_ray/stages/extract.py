@@ -308,7 +308,16 @@ def extract_records(
     """corpus → unified record stream (actor pool, Arrow in/out)."""
     index_ref = ray.put(indices) if indices is not None else None
     pkg_meta_ref = ray.put(pkg_meta) if pkg_meta is not None else None
-    kwargs = {"concurrency": concurrency if concurrency is not None else (1, 8)}
+    if concurrency is None:
+        # scale the pool to the cluster — a fixed (1, 8) cap leaves most
+        # of a 32-CPU node idle in the priciest stage (same fix as the
+        # media decode pool, pipelines/multimodal.py:_decode_pool_size)
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:  # noqa: BLE001
+            cpus = 8
+        concurrency = (1, max(8, cpus))
+    kwargs = {"concurrency": concurrency}
     return corpus.map_batches(
         ExtractRecords,
         fn_constructor_kwargs={
