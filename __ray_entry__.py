@@ -81,6 +81,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": data_ops.doc_fingerprint,
         "doc_scrub": data_ops.doc_scrub,
         "doc_winnow": data_ops.doc_winnow,
+        # curation / data-mixing
+        "stratified_sample": data_ops.stratified_sample,
+        "group_quota": data_ops.group_quota,
         # streaming-shaped + relational
         "events_tumbling": data_ops.events_tumbling,
         "events_hopping": data_ops.events_hopping,
@@ -98,8 +101,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     # Side effect: make sure the sf0.01 KG cache parquet exists before the
     # driver executes the SQL (the strings below read those files).
+    from codetoneo4j_ray.pipelines import data_ops
     from codetoneo4j_ray.pipelines.kg_queries import ensure_kg, oracle_kg
     from codetoneo4j_ray.sources.synth import ensure_commits
+
+    rate_case = " ".join(
+        f"WHEN lang = '{lg}' THEN {r}"
+        for lg, r in sorted(data_ops._SAMPLE_RATE_MICRO.items())
+    )
 
     ensure_kg(SF01)
     ensure_commits(SF01)
@@ -178,6 +187,30 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id,
                        md5(lower(regexp_replace(text, '[ \t\n\f\r]+', ' ', 'g'))) AS fingerprint
                 FROM documents ORDER BY doc_id
+            """,
+            # rate CASE generated from the same module constants the Ray
+            # op uses, so engine and oracle cannot drift
+            "stratified_sample": f"""
+                SELECT doc_id, lang, n_chars
+                FROM documents
+                WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT
+                      % 1000000
+                      < CASE {rate_case}
+                        ELSE {data_ops._SAMPLE_RATE_DEFAULT_MICRO} END
+                ORDER BY doc_id
+            """,
+            "group_quota": """
+                WITH ranked AS (
+                    SELECT lang, doc_id, n_chars,
+                           row_number() OVER (
+                               PARTITION BY lang
+                               ORDER BY n_chars DESC, doc_id
+                           ) AS "rank"
+                    FROM documents
+                )
+                SELECT lang, "rank", doc_id, n_chars
+                FROM ranked WHERE "rank" <= 40
+                ORDER BY lang, "rank"
             """,
             "ann_topk": """
                 WITH q AS (

@@ -1362,6 +1362,71 @@ def doc_fingerprint(sf_dir: str) -> ray.data.Dataset:
     ).sort("doc_id")
 
 
+# per-language keep rates (parts per million) for stratified_sample; the
+# oracle SQL is generated from these same constants so they cannot drift.
+_SAMPLE_RATE_MICRO: dict[str, int] = {"en": 500_000}
+_SAMPLE_RATE_DEFAULT_MICRO = 250_000
+
+
+def stratified_sample(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic per-language hash sampling (the data-mixing
+    primitive): keep a document iff ``h(doc_id) mod 1e6 <
+    rate_micro(lang)`` where h is the first 8 bytes of
+    md5(str(doc_id)), big-endian. Seedless and content-independent, so
+    the keep decision for a given doc is identical at any scale,
+    partitioning or rerun — what makes the sample reproducible and
+    joinable against other tables sampled the same way. Pure filter
+    map: zero shuffle until the output sort."""
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        langs = batch["lang"].to_pylist()
+        mask = []
+        for i, lg in zip(ids, langs):
+            h = int.from_bytes(
+                hashlib.md5(str(i).encode()).digest()[:8], "big"
+            )
+            rate = _SAMPLE_RATE_MICRO.get(lg, _SAMPLE_RATE_DEFAULT_MICRO)
+            mask.append(h % 1_000_000 < rate)
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    return _docs(sf_dir, ["doc_id", "lang", "n_chars"]).map_batches(
+        keep, batch_format="pyarrow"
+    ).sort("doc_id")
+
+
+def group_quota(sf_dir: str, quota: int = 40) -> ray.data.Dataset:
+    """Per-language document cap (the curation quota step): keep the
+    top ``quota`` docs per lang by (n_chars DESC, doc_id ASC) and rank
+    them 1..quota. Map-side partial top-k per batch bounds the shuffle
+    to quota × langs rows per block; the per-lang bucket merge re-ranks
+    globally — the same partial/merge shape as top_tokens, so no
+    language group ever has to fit unpruned in one task."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(
+            ["lang", "n_chars", "doc_id"], ascending=[True, False, True]
+        )
+        df = df.groupby("lang", as_index=False, sort=False).head(quota)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["lang", "n_chars", "doc_id"], ascending=[True, False, True]
+        )
+        df = df.groupby("lang", as_index=False, sort=False).head(quota).copy()
+        df["rank"] = (df.groupby("lang").cumcount() + 1).astype("int64")
+        return df[["lang", "rank", "doc_id", "n_chars"]]
+
+    return bucketed_apply(
+        _docs(sf_dir, ["doc_id", "lang", "n_chars"]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        ["lang"],
+        merge,
+    ).sort(["lang", "rank"])
+
+
 # ---------------------------------------------------------------------------
 # events: tumbling-window aggregate (streaming-shaped workload, batch form)
 # ---------------------------------------------------------------------------

@@ -710,3 +710,72 @@ def test_minhash_identical_doc_flood_is_not_quadratic(tmp_path):
     # spot-check the cross-group expansion reached every flood member
     head = ds.take(3)
     assert [(r["doc_a"], r["doc_b"]) for r in head] == [(0, 1), (0, 2), (0, 3)]
+
+
+def test_stratified_sample_deterministic_and_rate_bounded():
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from codetoneo4j_ray.pipelines.data_ops import (
+        _SAMPLE_RATE_DEFAULT_MICRO,
+        _SAMPLE_RATE_MICRO,
+        stratified_sample,
+    )
+
+    df = stratified_sample(SF).to_pandas()
+    docs = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "lang"]
+    ).to_pandas()
+
+    # exact membership: recompute the keep predicate per row
+    def kept(doc_id, lang):
+        h = int.from_bytes(
+            hashlib.md5(str(doc_id).encode()).digest()[:8], "big"
+        )
+        rate = _SAMPLE_RATE_MICRO.get(lang, _SAMPLE_RATE_DEFAULT_MICRO)
+        return h % 1_000_000 < rate
+
+    expect = sorted(
+        int(r.doc_id) for r in docs.itertuples() if kept(r.doc_id, r.lang)
+    )
+    assert list(df["doc_id"]) == expect
+    # two identical runs pick the same rows (seedless determinism)
+    df2 = stratified_sample(SF).to_pandas()
+    assert list(df2["doc_id"]) == list(df["doc_id"])
+
+
+def test_group_quota_caps_and_ranks_per_lang(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from codetoneo4j_ray.pipelines.data_ops import group_quota
+
+    # 3 langs x 10 docs; n_chars ties inside each lang exercise the
+    # doc_id ASC tiebreak
+    rows = []
+    for li, lang in enumerate(["aa", "bb", "cc"]):
+        for j in range(10):
+            rows.append((li * 100 + j, lang, 50 + (j % 4)))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "lang": pa.array([r[1] for r in rows], pa.string()),
+                "n_chars": pa.array([r[2] for r in rows], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    df = group_quota(str(tmp_path), quota=4).to_pandas()
+    assert len(df) == 12  # 4 per lang
+    assert list(df["rank"]) == [1, 2, 3, 4] * 3
+    # per lang: top-4 by (n_chars desc, doc_id asc) == the four j%4==3,
+    # then j%4==2 docs with smallest doc_id first
+    for li, lang in enumerate(["aa", "bb", "cc"]):
+        sub = df[df["lang"] == lang]
+        assert list(sub["doc_id"]) == [
+            li * 100 + 3, li * 100 + 7, li * 100 + 2, li * 100 + 6
+        ]
+        assert list(sub["n_chars"]) == [53, 53, 52, 52]
+    assert str(df["rank"].dtype) == "int64"
