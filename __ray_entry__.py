@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data ops: dedup family
         "doc_dedup_exact": data_ops.doc_dedup_exact,
         "doc_dedup_minhash": data_ops.doc_dedup_minhash,
+        "dup_clusters": data_ops.dup_clusters,
         "doc_simhash": data_ops.doc_simhash,
         "doc_ngram_jaccard": data_ops.doc_ngram_jaccard,
         "embedding_near_dup": data_ops.embedding_near_dup,
@@ -470,12 +471,14 @@ def oracle_sql() -> dict[str, str]:
         }
     )
     from codetoneo4j_ray.pipelines.data_ops import (
+        dup_clusters_oracle_sql,
         minhash_oracle_sql,
         ngram_jaccard_oracle_sql,
         winnow_oracle_sql,
     )
 
     sql["doc_dedup_minhash"] = minhash_oracle_sql()
+    sql["dup_clusters"] = dup_clusters_oracle_sql()
     sql["doc_ngram_jaccard"] = ngram_jaccard_oracle_sql()
     sql["doc_winnow"] = winnow_oracle_sql()
     # embedding_near_dup / ann_ivf / embedding_kmeans / kg_mentions_raw

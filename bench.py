@@ -108,6 +108,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
 
     timed("doc_dedup_exact", data_ops.doc_dedup_exact)
     timed("doc_dedup_minhash", data_ops.doc_dedup_minhash)
+    timed("dup_clusters", data_ops.dup_clusters)
     timed("doc_simhash", data_ops.doc_simhash)
     timed("doc_ngram_jaccard", data_ops.doc_ngram_jaccard)
     timed("ann_topk", data_ops.ann_topk)

@@ -779,3 +779,60 @@ def test_group_quota_caps_and_ranks_per_lang(tmp_path):
         ]
         assert list(sub["n_chars"]) == [53, 53, 52, 52]
     assert str(df["rank"].dtype) == "int64"
+
+
+def test_dup_clusters_transitive_chain(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from codetoneo4j_ray.pipelines.data_ops import (
+        doc_dedup_minhash,
+        dup_clusters,
+    )
+
+    # Sliding windows (22 words, stride 2) over distinct words: adjacent
+    # docs share 18/22 trigram shingles (J = 0.818 >= 0.8), distance-2
+    # docs only 16/24 (J = 0.667 < 0.8) -> the pair graph is a PATH, so
+    # min-label propagation needs multiple rounds to reach the far end.
+    words = [f"w{i:03d}" for i in range(40)]
+    chain = [" ".join(words[i * 2 : i * 2 + 22]) for i in range(6)]
+    trio = ["identical duplicate text payload right here okay"] * 3
+    single = ["nothing like anything else in this corpus at all",
+              "another lonely document with its own words only"]
+    ids = [0, 1, 2, 3, 4, 5, 10, 11, 12, 20, 21]
+    texts = chain + trio + single
+    pq.write_table(
+        pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array(texts, pa.string())}),
+        str(tmp_path / "documents.parquet"),
+    )
+
+    df = dup_clusters(str(tmp_path)).to_pandas()
+    got = dict(zip(df["doc_id"], df["cluster_rep"]))
+
+    # independent check: union-find over the op's own verified pairs
+    pairs = doc_dedup_minhash(str(tmp_path)).to_pandas()
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {x: find(x) for x in parent}
+    assert got == expect
+
+    # the planted structure resolved as designed: one 6-doc path
+    # cluster repped by 0, one exact-dup trio repped by 10, singletons
+    # absent
+    assert {got[i] for i in range(6)} == {0}
+    assert {got[i] for i in (10, 11, 12)} == {10}
+    assert 20 not in got and 21 not in got
+    assert str(df["doc_id"].dtype) == "int64"
+    assert str(df["cluster_rep"].dtype) == "int64"
