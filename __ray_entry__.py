@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # curation / data-mixing
         "stratified_sample": data_ops.stratified_sample,
         "group_quota": data_ops.group_quota,
+        "doc_pack": data_ops.doc_pack,
         # streaming-shaped + relational
         "events_tumbling": data_ops.events_tumbling,
         "events_hopping": data_ops.events_hopping,
@@ -199,6 +200,21 @@ def oracle_sql() -> dict[str, str]:
                       < CASE {rate_case}
                         ELSE {data_ops._SAMPLE_RATE_DEFAULT_MICRO} END
                 ORDER BY doc_id
+            """,
+            "doc_pack": f"""
+                WITH c AS (
+                    SELECT lang, doc_id,
+                           COALESCE(sum(n_chars) OVER (
+                               PARTITION BY lang ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS cum_before
+                    FROM documents
+                )
+                SELECT lang, doc_id,
+                       CAST(cum_before AS BIGINT) AS cum_before,
+                       CAST(cum_before // {data_ops._PACK_CAPACITY}
+                            AS BIGINT) AS pack_id
+                FROM c ORDER BY lang, doc_id
             """,
             "group_quota": """
                 WITH ranked AS (

@@ -121,6 +121,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     timed("doc_winnow", data_ops.doc_winnow)
     timed("stratified_sample", data_ops.stratified_sample)
     timed("group_quota", data_ops.group_quota)
+    timed("doc_pack", data_ops.doc_pack)
     timed("events_tumbling", data_ops.events_tumbling)
     timed("events_hopping", data_ops.events_hopping)
     timed("events_sessionize", data_ops.events_sessionize)

@@ -1538,6 +1538,84 @@ def group_quota(sf_dir: str, quota: int = 40) -> ray.data.Dataset:
     ).sort(["lang", "rank"])
 
 
+_PACK_CAPACITY = 2048  # chars per pack; shared into the oracle SQL
+
+
+def doc_pack(sf_dir: str, capacity: int = _PACK_CAPACITY) -> ray.data.Dataset:
+    """Sequence packing (the LLM-training batch-prep step): assign each
+    doc, in (lang, doc_id) order, its running char offset and the pack
+    (capacity-sized bin) that offset falls in.
+
+    An ordered prefix sum is inherently sequential, so it's computed as
+    the classic two-pass distributed scan: docs range-bucket by a
+    monotone map of the order key (r = doc_id // width, width sized so
+    r-buckets ≈ cluster parallelism); pass 1 reduces each (lang, r) to
+    ONE partial sum and the driver prefix-sums that summary — a
+    structure bounded by langs × bucket count (the parallelism knob),
+    never by rows; pass 2 broadcasts the per-bucket base offsets and
+    computes exact in-bucket cumsums vectorized, one bucketed exchange.
+    Dense doc_ids make the fixed-width ranger balanced here; skewed /
+    sparse order keys would swap in a sampled-quantile ranger — the
+    passes are unchanged."""
+    docs = _docs(sf_dir, ["doc_id", "lang", "n_chars"])
+    from codetoneo4j_ray.stages.bucketing import target_blocks
+
+    max_id = docs.max("doc_id")
+    if max_id is None:
+        return docs
+    nb = target_blocks()
+    width = max(1, (int(max_id) + nb) // nb)
+
+    def add_r(batch: pa.Table) -> pa.Table:
+        r = pc.cast(pc.divide(batch["doc_id"], width), pa.int64())
+        return batch.append_column("r", r)
+
+    with_r = docs.map_batches(add_r, batch_format="pyarrow").materialize()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = (
+            batch.to_pandas()
+            .groupby(["lang", "r"], as_index=False)["n_chars"]
+            .sum()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    # driver-side merge of METADATA-scale partials: one row per
+    # (block, lang, r) in, one per (lang, r) out — bounded by the
+    # bucket count, independent of row count
+    parts = with_r.map_batches(partial, batch_format="pyarrow").to_pandas()
+    sums = (
+        parts.groupby(["lang", "r"], as_index=False)["n_chars"]
+        .sum()
+        .sort_values(["lang", "r"])
+    )
+    sums["base"] = (
+        sums.groupby("lang")["n_chars"].cumsum() - sums["n_chars"]
+    ).astype("int64")
+    off_ref = ray.put(sums[["lang", "r", "base"]])
+
+    def pack(df: pd.DataFrame) -> pd.DataFrame:
+        off = _cached_get(off_ref)
+        df = df.sort_values(["lang", "r", "doc_id"])
+        cum = (
+            df.groupby(["lang", "r"])["n_chars"].cumsum() - df["n_chars"]
+        ).to_numpy()
+        base = df.merge(off, on=["lang", "r"], how="left")["base"].to_numpy()
+        out = pd.DataFrame(
+            {
+                "lang": df["lang"].to_numpy(),
+                "doc_id": df["doc_id"].to_numpy(),
+                "cum_before": (base + cum).astype("int64"),
+            }
+        )
+        out["pack_id"] = (out["cum_before"] // capacity).astype("int64")
+        return out
+
+    return bucketed_apply(with_r, ["lang", "r"], pack).sort(
+        ["lang", "doc_id"]
+    )
+
+
 # ---------------------------------------------------------------------------
 # events: tumbling-window aggregate (streaming-shaped workload, batch form)
 # ---------------------------------------------------------------------------

@@ -836,3 +836,50 @@ def test_dup_clusters_transitive_chain(tmp_path):
     assert 20 not in got and 21 not in got
     assert str(df["doc_id"].dtype) == "int64"
     assert str(df["cluster_rep"].dtype) == "int64"
+
+
+def test_doc_pack_prefix_sum_crosses_range_buckets(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from codetoneo4j_ray.pipelines.data_ops import doc_pack
+
+    # 400 docs, 2 langs interleaved, varying sizes — far more docs than
+    # range buckets, so almost every in-bucket cumsum needs a nonzero
+    # base offset from the driver's pass-1 summary
+    ids = list(range(400))
+    langs = ["en" if i % 2 == 0 else "fr" for i in ids]
+    sizes = [100 + (i * 37) % 250 for i in ids]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "lang": pa.array(langs, pa.string()),
+                "n_chars": pa.array(sizes, pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    df = doc_pack(str(tmp_path), capacity=512).to_pandas()
+    assert len(df) == 400
+
+    # reference: plain per-lang running sum in (lang, doc_id) order
+    import pandas as pd
+
+    ref = pd.DataFrame({"doc_id": ids, "lang": langs, "n_chars": sizes})
+    ref = ref.sort_values(["lang", "doc_id"])
+    ref["cum_before"] = (
+        ref.groupby("lang")["n_chars"].cumsum() - ref["n_chars"]
+    )
+    ref["pack_id"] = ref["cum_before"] // 512
+    got = df.reset_index(drop=True)
+    exp = ref[["lang", "doc_id", "cum_before", "pack_id"]].reset_index(
+        drop=True
+    )
+    assert list(got["doc_id"]) == list(exp["doc_id"])
+    assert list(got["cum_before"]) == list(exp["cum_before"])
+    assert list(got["pack_id"]) == list(exp["pack_id"])
+    assert str(got["cum_before"].dtype) == "int64"
+    assert str(got["pack_id"].dtype) == "int64"
+    # sanity: the op really produced many packs per lang
+    assert df.groupby("lang")["pack_id"].nunique().min() > 10
