@@ -13,6 +13,7 @@ run over the driver's registered views directly.
 from __future__ import annotations
 
 from collections.abc import Callable
+from functools import partial as _partial
 from typing import Any
 
 import os as _os
@@ -68,7 +69,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_clusters": data_ops.dup_clusters,
         "doc_simhash": data_ops.doc_simhash,
         "doc_ngram_jaccard": data_ops.doc_ngram_jaccard,
-        "embedding_near_dup": data_ops.embedding_near_dup,
+        # gate threshold 0.4: the synthetic embeddings are random (max
+        # pairwise cosine ≈ 0.51), so the default 0.95 yields an empty —
+        # and thus unconvincing — strict match; 0.4 exercises ~60 pairs
+        # through the exact path (strict oracle).  The IVF path is
+        # covered by the recall pytest with exact_cutoff=0.
+        "embedding_near_dup": _partial(
+            data_ops.embedding_near_dup,
+            threshold=data_ops._NEAR_DUP_GATE_THRESHOLD,
+        ),
         # similarity search
         "ann_topk": data_ops.ann_topk,
         "ann_ivf": data_ops.ann_ivf,
@@ -489,6 +498,7 @@ def oracle_sql() -> dict[str, str]:
     from codetoneo4j_ray.pipelines.data_ops import (
         dup_clusters_oracle_sql,
         minhash_oracle_sql,
+        near_dup_oracle_sql,
         ngram_jaccard_oracle_sql,
         winnow_oracle_sql,
     )
@@ -497,6 +507,9 @@ def oracle_sql() -> dict[str, str]:
     sql["dup_clusters"] = dup_clusters_oracle_sql()
     sql["doc_ngram_jaccard"] = ngram_jaccard_oracle_sql()
     sql["doc_winnow"] = winnow_oracle_sql()
-    # embedding_near_dup / ann_ivf / embedding_kmeans / kg_mentions_raw
-    # are approximate, iterative, or raw-stream analogs → rows-only.
+    # strict only for the exact (below-cutoff) path the gate exercises;
+    # the IVF path above the cutoff stays pytest-recall-covered
+    sql["embedding_near_dup"] = near_dup_oracle_sql()
+    # ann_ivf / embedding_kmeans / kg_mentions_raw are approximate,
+    # iterative, or raw-stream analogs → rows-only.
     return sql

@@ -1006,20 +1006,104 @@ def ann_topk(sf_dir: str, n_queries: int = 8, k: int = 10) -> ray.data.Dataset:
     )
 
 
-def embedding_near_dup(
-    sf_dir: str, threshold: float = 0.95, n_cells: int = 16, n_assign: int = 2
-) -> ray.data.Dataset:
-    """APPROXIMATE near-duplicate pairs (a < b) with cosine ≥ threshold.
+# Below this row count the near-dup pair search runs EXACT (distributed
+# scan against a once-broadcast normalized matrix — bounded at
+# cutoff × dim float64, ~50 MB for 100k × 64) and is therefore
+# SQL-replicable; above it the IVF-cell-blocked approximate path takes
+# over. The driver gate exercises the exact path at a threshold the
+# synthetic embeddings actually reach (max pairwise cosine ≈ 0.51).
+_NEAR_DUP_EXACT_CUTOFF = 100_000
+_NEAR_DUP_GATE_THRESHOLD = 0.4
 
-    IVF-cell-blocked, so recall < 1.0 by design: a qualifying pair whose
-    top-``n_assign`` cell assignments are disjoint is missed (raise
-    ``n_assign`` to trade cost for recall; the seeded clustered-fixture
-    pytest pins recall ≥ 0.9). Sample-trained centroids partition the
-    space; each vector lands in its ``n_assign`` nearest cells (multi-
-    assignment keeps boundary-straddling near-dups in a shared cell);
-    all-pairs cosine runs only within cells via a hash-partitioned
-    bucket exchange. No full-matrix broadcast — per-worker state is the
-    k×dim centroid block."""
+
+def _micro_floor(x: float) -> int:
+    return int(np.floor(x * 1_000_000))
+
+
+def _near_dup_exact(
+    emb: ray.data.Dataset, threshold: float
+) -> ray.data.Dataset:
+    """Exact all-pairs cosine ≥ threshold, (vec_a < vec_b, sim_micro).
+
+    Distributed scan: the full normalized matrix (bounded by
+    ``_NEAR_DUP_EXACT_CUTOFF`` — the caller checked) broadcasts once via
+    ray.put; each batch scores its rows against it and emits only the
+    a < b half, so every qualifying pair is produced exactly once, by
+    the batch holding its smaller id."""
+    thr_micro = _micro_floor(threshold)
+    df = emb.to_pandas()
+    if not len(df):
+        return ray.data.from_arrow(
+            pa.table({"vec_a": pa.array([], pa.int64()),
+                      "vec_b": pa.array([], pa.int64()),
+                      "sim_micro": pa.array([], pa.int64())})
+        )
+    ids_all = df["vec_id"].to_numpy(dtype=np.int64)
+    m_all = np.stack([np.asarray(v, dtype=np.float64) for v in df["embedding"]])
+    mn_all = m_all / np.linalg.norm(m_all, axis=1, keepdims=True)
+    ref = ray.put((ids_all, mn_all))
+
+    def scan(batch: pa.Table) -> pa.Table:
+        b_ids_all, b_mn_all = _cached_get(ref)
+        b_ids, bm = _batch_matrix(batch)
+        bmn = bm / np.linalg.norm(bm, axis=1, keepdims=True)
+        micro = np.floor((bmn @ b_mn_all.T) * 1_000_000).astype(np.int64)
+        ai, bj = np.nonzero(micro >= thr_micro)
+        a = b_ids[ai]
+        b = b_ids_all[bj]
+        keep = a < b
+        return pa.table(
+            {
+                "vec_a": pa.array(a[keep], pa.int64()),
+                "vec_b": pa.array(b[keep], pa.int64()),
+                "sim_micro": pa.array(micro[ai[keep], bj[keep]], pa.int64()),
+            }
+        )
+
+    return emb.map_batches(scan, batch_format="pyarrow").sort(["vec_a", "vec_b"])
+
+
+def near_dup_oracle_sql(threshold: float = _NEAR_DUP_GATE_THRESHOLD) -> str:
+    """DuckDB replica of the exact near-dup path (same floor(·1e6)
+    threshold arithmetic as the Ray scan — thr_micro derives from the
+    identical Python expression, so engine and oracle cannot drift)."""
+    return f"""
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               CAST(floor(list_cosine_similarity(
+                   CAST(a.embedding AS DOUBLE[]),
+                   CAST(b.embedding AS DOUBLE[])) * 1000000) AS BIGINT)
+                   AS sim_micro
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE CAST(floor(list_cosine_similarity(
+                  CAST(a.embedding AS DOUBLE[]),
+                  CAST(b.embedding AS DOUBLE[])) * 1000000) AS BIGINT)
+              >= {_micro_floor(threshold)}
+        ORDER BY vec_a, vec_b
+    """
+
+
+def embedding_near_dup(
+    sf_dir: str, threshold: float = 0.95, n_cells: int = 16, n_assign: int = 2,
+    exact_cutoff: int = _NEAR_DUP_EXACT_CUTOFF,
+) -> ray.data.Dataset:
+    """Near-duplicate pairs (a < b, sim_micro) with cosine ≥ threshold.
+
+    EXACT below ``exact_cutoff`` rows (distributed scan against a
+    bounded broadcast matrix — strict DuckDB oracle at the gate);
+    APPROXIMATE IVF-cell-blocked above it, where recall < 1.0 by
+    design: a qualifying pair whose top-``n_assign`` cell assignments
+    are disjoint is missed (raise ``n_assign`` to trade cost for
+    recall; the seeded clustered-fixture pytest pins recall ≥ 0.9 on
+    the IVF path with ``exact_cutoff=0``). Sample-trained centroids
+    partition the space; each vector lands in its ``n_assign`` nearest
+    cells (multi-assignment keeps boundary-straddling near-dups in a
+    shared cell); all-pairs cosine runs only within cells via a
+    hash-partitioned bucket exchange. No full-matrix broadcast on the
+    IVF path — per-worker state is the k×dim centroid block."""
+    emb = _emb(sf_dir)
+    if emb.count() <= exact_cutoff:
+        return _near_dup_exact(emb, threshold)
+    thr_micro = _micro_floor(threshold)
     centers = _train_centroids(sf_dir, n_cells)
     c_ref = ray.put(centers)
 
@@ -1044,26 +1128,30 @@ def embedding_near_dup(
     def cell_pairs(df: pd.DataFrame) -> pd.DataFrame:
         out_a: list[int] = []
         out_b: list[int] = []
+        out_s: list[int] = []
         for _cell, g in df.groupby("cell", sort=False):
             g = g.drop_duplicates(subset="vec_id")
             ids = g["vec_id"].to_numpy()
             m = np.stack([np.frombuffer(v, dtype=np.float64) for v in g["vec"]])
-            sims = m @ m.T
-            ai, bi = np.nonzero(sims >= threshold)
+            micro = np.floor((m @ m.T) * 1_000_000).astype(np.int64)
+            ai, bi = np.nonzero(micro >= thr_micro)
             for i, j in zip(ai, bi):
                 a, b = int(ids[i]), int(ids[j])
                 if a < b:
                     out_a.append(a)
                     out_b.append(b)
+                    out_s.append(int(micro[i, j]))
         return pd.DataFrame(
             {"vec_a": pd.Series(out_a, dtype="int64"),
-             "vec_b": pd.Series(out_b, dtype="int64")}
+             "vec_b": pd.Series(out_b, dtype="int64"),
+             "sim_micro": pd.Series(out_s, dtype="int64")}
         )
 
     def norm_pairs(batch: pa.Table) -> pa.Table:
-        # pin the (vec_a, vec_b) schema even when every bucket was empty
+        # pin the (vec_a, vec_b, sim_micro) schema even when every bucket
+        # was empty
         cols = {}
-        for name in ("vec_a", "vec_b"):
+        for name in ("vec_a", "vec_b", "sim_micro"):
             col = (batch[name] if name in batch.column_names
                    else pa.nulls(batch.num_rows, pa.int64()))
             cols[name] = (

@@ -157,8 +157,13 @@ def test_embedding_near_dup_recall_vs_bruteforce(tmp_path):
         str(tmp_path / "embeddings.parquet"),
     )
     threshold = 0.95
+    # exact_cutoff=0 forces the IVF-cell-blocked approximate path (the
+    # default cutoff would route this 90-vector fixture to the exact
+    # scan, which test_embedding_near_dup_exact_path covers)
     got = set(
-        map(tuple, embedding_near_dup(str(tmp_path), threshold=threshold)
+        map(tuple,
+            embedding_near_dup(str(tmp_path), threshold=threshold,
+                               exact_cutoff=0)
             .to_pandas()[["vec_a", "vec_b"]].values)
     )
     n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
@@ -171,6 +176,38 @@ def test_embedding_near_dup_recall_vs_bruteforce(tmp_path):
     assert len(exact) >= 30
     assert not (got - exact), "cell-blocked output contains false positives"
     assert len(got & exact) / len(exact) >= 0.9
+
+
+def test_embedding_near_dup_exact_path(tmp_path):
+    """Below the cutoff the op is EXACT: pairs and sim_micro equal the
+    brute-force reference bit-for-bit (this is the path the driver's
+    strict DuckDB oracle checks)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from codetoneo4j_ray.pipelines.data_ops import embedding_near_dup
+
+    rng = np.random.RandomState(11)
+    mat = rng.randn(120, 16)
+    ids = np.arange(100, 100 + len(mat), dtype=np.int64)
+    pq.write_table(
+        pa.table({"vec_id": pa.array(ids, pa.int64()),
+                  "embedding": pa.array([list(map(float, v)) for v in mat],
+                                        pa.list_(pa.float64()))}),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    threshold = 0.3
+    got = embedding_near_dup(str(tmp_path), threshold=threshold).to_pandas()
+    n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    micro = np.floor((n @ n.T) * 1_000_000).astype(np.int64)
+    thr_micro = int(np.floor(threshold * 1_000_000))
+    exact = sorted(
+        (int(ids[i]), int(ids[j]), int(micro[i, j]))
+        for i, j in zip(*np.nonzero(micro >= thr_micro))
+        if ids[i] < ids[j]
+    )
+    assert len(exact) >= 20
+    assert list(map(tuple, got[["vec_a", "vec_b", "sim_micro"]].values)) == exact
 
 
 def test_embedding_near_dup_empty_input_yields_no_pairs():
