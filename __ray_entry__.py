@@ -87,6 +87,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_stats": data_ops.text_stats,
         "lang_id": data_ops.lang_id,
         "doc_quality": data_ops.doc_quality,
+        "doc_repetition": data_ops.doc_repetition,
+        "decontaminate": data_ops.decontaminate,
         "top_tokens": data_ops.top_tokens,
         "doc_fingerprint": data_ops.doc_fingerprint,
         "doc_scrub": data_ops.doc_scrub,
@@ -95,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": data_ops.stratified_sample,
         "group_quota": data_ops.group_quota,
         "doc_pack": data_ops.doc_pack,
+        "doc_chunk": data_ops.doc_chunk,
         # streaming-shaped + relational
         "events_tumbling": data_ops.events_tumbling,
         "events_hopping": data_ops.events_hopping,
@@ -496,6 +499,9 @@ def oracle_sql() -> dict[str, str]:
         }
     )
     from codetoneo4j_ray.pipelines.data_ops import (
+        decontaminate_oracle_sql,
+        doc_chunk_oracle_sql,
+        doc_repetition_oracle_sql,
         dup_clusters_oracle_sql,
         minhash_oracle_sql,
         near_dup_oracle_sql,
@@ -507,6 +513,9 @@ def oracle_sql() -> dict[str, str]:
     sql["dup_clusters"] = dup_clusters_oracle_sql()
     sql["doc_ngram_jaccard"] = ngram_jaccard_oracle_sql()
     sql["doc_winnow"] = winnow_oracle_sql()
+    sql["decontaminate"] = decontaminate_oracle_sql()
+    sql["doc_repetition"] = doc_repetition_oracle_sql()
+    sql["doc_chunk"] = doc_chunk_oracle_sql()
     # strict only for the exact (below-cutoff) path the gate exercises;
     # the IVF path above the cutoff stays pytest-recall-covered
     sql["embedding_near_dup"] = near_dup_oracle_sql()

@@ -122,6 +122,9 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     timed("stratified_sample", data_ops.stratified_sample)
     timed("group_quota", data_ops.group_quota)
     timed("doc_pack", data_ops.doc_pack)
+    timed("doc_chunk", data_ops.doc_chunk)
+    timed("doc_repetition", data_ops.doc_repetition)
+    timed("decontaminate", data_ops.decontaminate)
     timed("events_tumbling", data_ops.events_tumbling)
     timed("events_hopping", data_ops.events_hopping)
     timed("events_sessionize", data_ops.events_sessionize)

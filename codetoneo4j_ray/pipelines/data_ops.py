@@ -742,6 +742,118 @@ def winnow_oracle_sql(k: int = 8, window: int = 4) -> str:
 
 
 # ---------------------------------------------------------------------------
+# benchmark n-gram decontamination
+# ---------------------------------------------------------------------------
+
+# word-8-gram is the published decontamination convention (GPT-3 /
+# Gopher eval-overlap filtering); the benchmark stand-in is the
+# deterministic doc_id % 31 slice of the corpus.
+_DECON_NGRAM = 8
+_DECON_BENCH_MOD = 31
+
+
+def _gram_strs(text: str, k: int) -> set[str]:
+    """Distinct word k-grams; docs shorter than k words have none (no
+    sentinel — a too-short doc cannot be contaminated)."""
+    words = _words(_sql_lower(text))
+    if len(words) < k:
+        return set()
+    return {" ".join(words[i : i + k]) for i in range(len(words) - k + 1)}
+
+
+def decontaminate(
+    sf_dir: str, k: int = _DECON_NGRAM, bench_mod: int = _DECON_BENCH_MOD
+) -> ray.data.Dataset:
+    """Benchmark decontamination: flag training docs sharing any word
+    k-gram with the benchmark slice (doc_id % bench_mod == 0 — the
+    deterministic stand-in for an eval suite). Returns one row per
+    NON-benchmark doc: (doc_id, n_contam = distinct shared grams,
+    contaminated).
+
+    Scale shape: the benchmark side is bounded-small by definition
+    (eval suites are MBs against a 100 TB corpus), so its distinct
+    grams reduce per-batch, union once on the driver, and broadcast
+    via ray.put — the production pattern (a hash/bloom set of eval
+    n-grams shipped to every worker). The training-side scan is then
+    a pure map with no shuffle."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def bench_grams(batch: pa.Table) -> pa.Table:
+        out: set[str] = set()
+        for did, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            if did % bench_mod == 0:
+                out.update(_gram_strs(text, k))
+        return pa.table({"gram": pa.array(sorted(out), pa.string())})
+
+    bench: set[str] = set()
+    for b in docs.map_batches(
+        bench_grams, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        bench.update(b["gram"].to_pylist())
+    ref = ray.put(bench)
+
+    def scan(batch: pa.Table) -> pa.Table:
+        bset = _cached_get(ref)
+        out_id: list[int] = []
+        out_n: list[int] = []
+        for did, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            if did % bench_mod == 0:
+                continue
+            out_id.append(int(did))
+            out_n.append(len(_gram_strs(text, k) & bset))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "n_contam": pa.array(out_n, pa.int64()),
+                "contaminated": pa.array([n > 0 for n in out_n], pa.bool_()),
+            }
+        )
+
+    return docs.map_batches(scan, batch_format="pyarrow").sort("doc_id")
+
+
+def decontaminate_oracle_sql(
+    k: int = _DECON_NGRAM, bench_mod: int = _DECON_BENCH_MOD
+) -> str:
+    """STRICT DuckDB replica of decontaminate — joins on the gram
+    strings themselves (the Ray side intersects the same strings, so
+    there is no hash-collision caveat)."""
+    return f"""
+        WITH w AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text),
+                               '[ \t\n\r]+'), x -> x <> '') AS ws
+            FROM documents
+        ),
+        g AS (
+            SELECT DISTINCT doc_id,
+                   array_to_string(ws[i:i+{k - 1}], ' ') AS gram
+            FROM w, UNNEST(range(1, len(ws) - {k - 2})) AS t(i)
+            WHERE len(ws) >= {k}
+        ),
+        bench AS (
+            SELECT DISTINCT gram FROM g WHERE doc_id % {bench_mod} = 0
+        ),
+        hits AS (
+            SELECT g.doc_id, count(*) AS n_contam
+            FROM g JOIN bench USING (gram)
+            WHERE g.doc_id % {bench_mod} <> 0
+            GROUP BY g.doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(h.n_contam, 0)::BIGINT AS n_contam,
+               COALESCE(h.n_contam, 0) > 0 AS contaminated
+        FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        WHERE d.doc_id % {bench_mod} <> 0
+        ORDER BY d.doc_id
+    """
+
+
+# ---------------------------------------------------------------------------
 # SimHash near-dup fingerprints
 # ---------------------------------------------------------------------------
 
@@ -1441,6 +1553,122 @@ def doc_quality(sf_dir: str) -> ray.data.Dataset:
     ).sort("doc_id")
 
 
+def doc_repetition(sf_dir: str) -> ray.data.Dataset:
+    """Gopher-style repetition signals (integer-exact, SQL-replicable):
+    (doc_id, n_lines, dup_line_frac_micro, top_bigram_frac_micro, keep).
+
+    dup_line_frac = chars in lines whose content repeats within the doc
+    (all occurrences) / chars in all non-empty lines; top_bigram_frac =
+    occurrences of the most frequent word 2-gram / total 2-grams.
+    keep = dup_line_frac < 0.30 AND top_bigram_frac < 0.20 — the Gopher
+    repetition-filter shape. Pure per-doc map, no shuffle."""
+
+    def score(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        n_lines_l, dup_l, big_l, keeps = [], [], [], []
+        for t in texts:
+            lines = [ln for ln in t.split("\n") if ln != ""]
+            counts: dict[str, int] = {}
+            for ln in lines:
+                counts[ln] = counts.get(ln, 0) + 1
+            total = sum(len(ln) for ln in lines)
+            dup = sum(len(ln) * c for ln, c in counts.items() if c > 1)
+            dup_micro = (dup * 1_000_000) // total if total else 0
+            words = _words(_sql_lower(t))
+            n_big = len(words) - 1
+            if n_big >= 1:
+                bc: dict[str, int] = {}
+                for i in range(n_big):
+                    g = words[i] + " " + words[i + 1]
+                    bc[g] = bc.get(g, 0) + 1
+                max_c = max(bc.values())
+                big_micro = (max_c * 1_000_000) // n_big
+            else:
+                big_micro = 0
+            n_lines_l.append(len(lines))
+            dup_l.append(dup_micro)
+            big_l.append(big_micro)
+            keeps.append(dup_micro < 300_000 and big_micro < 200_000)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_lines": pa.array(n_lines_l, pa.int64()),
+                "dup_line_frac_micro": pa.array(dup_l, pa.int64()),
+                "top_bigram_frac_micro": pa.array(big_l, pa.int64()),
+                "keep": pa.array(keeps, pa.bool_()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow"
+    ).sort("doc_id")
+
+
+def doc_repetition_oracle_sql() -> str:
+    """STRICT DuckDB replica of doc_repetition (integer micro-fraction
+    arithmetic matches the Python // exactly)."""
+    return r"""
+        WITH lines AS (
+            SELECT doc_id, unnest(list_filter(
+                string_split(text, chr(10)), l -> l <> '')) AS line
+            FROM documents
+        ),
+        lc AS (
+            SELECT doc_id, line, count(*) AS c, length(line) AS n
+            FROM lines GROUP BY doc_id, line
+        ),
+        linestats AS (
+            SELECT doc_id,
+                   sum(c) AS n_lines,
+                   sum(n * c) AS total_chars,
+                   sum(CASE WHEN c > 1 THEN n * c ELSE 0 END) AS dup_chars
+            FROM lc GROUP BY doc_id
+        ),
+        w AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text),
+                               '[ \t\n\r]+'), x -> x <> '') AS ws
+            FROM documents
+        ),
+        bg AS (
+            SELECT doc_id, ws[i] || ' ' || ws[i+1] AS gram
+            FROM w, UNNEST(range(1, len(ws))) AS t(i)
+            WHERE len(ws) >= 2
+        ),
+        bgc AS (
+            SELECT doc_id, gram, count(*) AS c FROM bg
+            GROUP BY doc_id, gram
+        ),
+        top AS (
+            SELECT doc_id, c,
+                   sum(c) OVER (PARTITION BY doc_id) AS n_big,
+                   row_number() OVER (
+                       PARTITION BY doc_id ORDER BY c DESC, gram
+                   ) AS rn
+            FROM bgc
+        )
+        SELECT d.doc_id,
+               COALESCE(ls.n_lines, 0)::BIGINT AS n_lines,
+               CASE WHEN COALESCE(ls.total_chars, 0) > 0
+                    THEN (ls.dup_chars * 1000000) // ls.total_chars
+                    ELSE 0 END::BIGINT AS dup_line_frac_micro,
+               COALESCE(CASE WHEN t.n_big >= 1
+                    THEN (t.c * 1000000) // t.n_big END, 0)::BIGINT
+                   AS top_bigram_frac_micro,
+               (CASE WHEN COALESCE(ls.total_chars, 0) > 0
+                     THEN (ls.dup_chars * 1000000) // ls.total_chars
+                     ELSE 0 END < 300000)
+               AND (COALESCE(CASE WHEN t.n_big >= 1
+                        THEN (t.c * 1000000) // t.n_big END, 0) < 200000)
+                   AS keep
+        FROM documents d
+        LEFT JOIN linestats ls ON d.doc_id = ls.doc_id
+        LEFT JOIN top t ON d.doc_id = t.doc_id AND t.rn = 1
+        ORDER BY d.doc_id
+    """
+
+
 def doc_winnow(
     sf_dir: str, k: int = 8, window: int = 4
 ) -> ray.data.Dataset:
@@ -1702,6 +1930,62 @@ def doc_pack(sf_dir: str, capacity: int = _PACK_CAPACITY) -> ray.data.Dataset:
     return bucketed_apply(with_r, ["lang", "r"], pack).sort(
         ["lang", "doc_id"]
     )
+
+
+_CHUNK_SIZE = 500  # chars per chunk; shared into the oracle SQL
+_CHUNK_STRIDE = 400  # 100-char overlap
+
+
+def doc_chunk(
+    sf_dir: str, size: int = _CHUNK_SIZE, stride: int = _CHUNK_STRIDE
+) -> ray.data.Dataset:
+    """Fixed-window chunking with overlap (RAG / context-window prep):
+    each doc expands to ceil-strided character windows — rows
+    (doc_id, chunk_idx, n_chunk_chars, chunk_md5). An empty doc yields
+    one empty chunk (chunkers must not silently drop rows). Pure
+    flat-map expansion before any shuffle — the 100 TB-safe shape:
+    expansion happens inside map_batches, blocks split downstream."""
+
+    def chunk(batch: pa.Table) -> pa.Table:
+        out_id, out_idx, out_n, out_md5 = [], [], [], []
+        for did, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            for ci, start in enumerate(range(0, max(len(text), 1), stride)):
+                piece = text[start : start + size]
+                out_id.append(int(did))
+                out_idx.append(ci)
+                out_n.append(len(piece))
+                out_md5.append(hashlib.md5(piece.encode()).hexdigest())
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "chunk_idx": pa.array(out_idx, pa.int64()),
+                "n_chunk_chars": pa.array(out_n, pa.int64()),
+                "chunk_md5": pa.array(out_md5, pa.string()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        chunk, batch_format="pyarrow"
+    ).sort(["doc_id", "chunk_idx"])
+
+
+def doc_chunk_oracle_sql(
+    size: int = _CHUNK_SIZE, stride: int = _CHUNK_STRIDE
+) -> str:
+    """STRICT DuckDB replica of doc_chunk (substring is 1-based and
+    character-counted in DuckDB, matching Python str slicing; md5 runs
+    over the UTF-8 bytes in both engines)."""
+    return f"""
+        SELECT doc_id,
+               t.i // {stride} AS chunk_idx,
+               length(substring(text, t.i + 1, {size})) AS n_chunk_chars,
+               md5(substring(text, t.i + 1, {size})) AS chunk_md5
+        FROM documents,
+             UNNEST(range(0, greatest(length(text), 1), {stride})) AS t(i)
+        ORDER BY doc_id, chunk_idx
+    """
 
 
 # ---------------------------------------------------------------------------

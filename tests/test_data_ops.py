@@ -920,3 +920,84 @@ def test_doc_pack_prefix_sum_crosses_range_buckets(tmp_path):
     assert str(got["pack_id"].dtype) == "int64"
     # sanity: the op really produced many packs per lang
     assert df.groupby("lang")["pack_id"].nunique().min() > 10
+
+
+def _write_docs(tmp_path, texts, ids=None):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ids = list(range(len(texts))) if ids is None else ids
+    pq.write_table(
+        pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array(texts, pa.string())}),
+        str(tmp_path / "documents.parquet"),
+    )
+
+
+def test_decontaminate_flags_planted_overlap(tmp_path):
+    """Doc sharing an 8-gram with the benchmark slice (id % 31 == 0) is
+    flagged with the distinct-gram count; short and disjoint docs are
+    clean; benchmark docs never appear in the output."""
+    from codetoneo4j_ray.pipelines.data_ops import decontaminate
+
+    bench = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    # ids: 0 and 31 are benchmark; 1 copies 9 of bench's words -> two
+    # overlapping 8-grams; 2 is disjoint; 3 is shorter than 8 words
+    _write_docs(tmp_path, [
+        bench,
+        "alpha beta gamma delta epsilon zeta eta theta iota nope",
+        "totally unrelated words one two three four five six seven eight",
+        "short doc",
+        "lambda mu nu xi omicron pi rho sigma tau upsilon",
+    ], ids=[0, 1, 2, 3, 31])
+    df = decontaminate(str(tmp_path)).to_pandas().set_index("doc_id")
+    assert sorted(df.index) == [1, 2, 3]
+    assert df.loc[1, "n_contam"] == 2 and bool(df.loc[1, "contaminated"])
+    assert df.loc[2, "n_contam"] == 0 and not bool(df.loc[2, "contaminated"])
+    assert df.loc[3, "n_contam"] == 0
+
+
+def test_doc_repetition_flags_planted_repeats(tmp_path):
+    """Duplicate-line mass and a dominating bigram trip the Gopher-style
+    thresholds; a varied doc keeps; empty doc is all-zero and keeps."""
+    from codetoneo4j_ray.pipelines.data_ops import doc_repetition
+
+    dup_lines = "same line\nsame line\nsame line\nunique"
+    rep_bigram = "spam ham " * 20  # 'ham spam'/'spam ham' dominate
+    varied = ("one two three four five six seven eight nine ten\n"
+              "eleven twelve thirteen fourteen fifteen sixteen")
+    _write_docs(tmp_path, [dup_lines, rep_bigram.strip(), varied, ""])
+    df = doc_repetition(str(tmp_path)).to_pandas().set_index("doc_id")
+    # 3*9=27 of 33 line chars are in duplicate lines
+    assert df.loc[0, "dup_line_frac_micro"] == 27 * 1_000_000 // 33
+    assert not bool(df.loc[0, "keep"])
+    # 'spam ham' appears 20x of 39 bigrams -> > 0.2
+    assert df.loc[1, "top_bigram_frac_micro"] == 20 * 1_000_000 // 39
+    assert not bool(df.loc[1, "keep"])
+    assert bool(df.loc[2, "keep"])
+    assert df.loc[3, "n_lines"] == 0
+    assert df.loc[3, "dup_line_frac_micro"] == 0
+    assert bool(df.loc[3, "keep"])
+
+
+def test_doc_chunk_boundaries_and_unicode(tmp_path):
+    """Chunk windows are character-based (non-ASCII safe), overlap by
+    size-stride, an exact-size doc yields ceil-strided chunks, and an
+    empty doc yields one empty chunk."""
+    import hashlib
+
+    from codetoneo4j_ray.pipelines.data_ops import doc_chunk
+
+    long = "ä" * 1001          # 3 chunks at stride 400 (starts 0/400/800)
+    exact = "b" * 500          # starts 0 and 400 -> 2 chunks
+    _write_docs(tmp_path, [long, exact, ""])
+    df = doc_chunk(str(tmp_path)).to_pandas()
+    g = df.set_index(["doc_id", "chunk_idx"])
+    assert list(df[df.doc_id == 0]["n_chunk_chars"]) == [500, 500, 201]
+    assert g.loc[(0, 0), "chunk_md5"] == hashlib.md5(
+        ("ä" * 500).encode()).hexdigest()
+    assert list(df[df.doc_id == 1]["n_chunk_chars"]) == [500, 100]
+    assert g.loc[(1, 1), "chunk_md5"] == hashlib.md5(
+        ("b" * 100).encode()).hexdigest()
+    assert list(df[df.doc_id == 2]["n_chunk_chars"]) == [0]
+    assert g.loc[(2, 0), "chunk_md5"] == hashlib.md5(b"").hexdigest()
