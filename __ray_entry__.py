@@ -32,7 +32,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from codetoneo4j_ray.pipelines import data_ops, multimodal
+    from codetoneo4j_ray.pipelines import data_ops, graph_ops, multimodal
     from codetoneo4j_ray.pipelines.kg_queries import (
         q_kg_authored,
         q_kg_commit_edges,
@@ -56,6 +56,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_symbol_kinds": q_kg_symbol_kinds,
         "kg_pred_counts": q_kg_pred_counts,
         "kg_degree_topk": q_kg_degree_topk,
+        "kg_pagerank": graph_ops.kg_pagerank,
+        "kg_triangles": graph_ops.kg_triangles,
         "kg_mentions_raw": q_kg_mentions_raw,
         # commit subgraph (UpsertCommit/UpsertFile cypher analogs)
         "kg_commits": q_kg_commits,
@@ -90,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": data_ops.doc_repetition,
         "decontaminate": data_ops.decontaminate,
         "top_tokens": data_ops.top_tokens,
+        "inverted_index": data_ops.inverted_index,
         "doc_fingerprint": data_ops.doc_fingerprint,
         "doc_scrub": data_ops.doc_scrub,
         "doc_winnow": data_ops.doc_winnow,
@@ -181,6 +184,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT "rank", token, n FROM ranked
                 WHERE "rank" <= 50 ORDER BY "rank"
             """,
+            "inverted_index": data_ops.inverted_index_oracle_sql(),
             "doc_scrub": r"""
                 SELECT doc_id,
                        length(regexp_extract_all(text,

@@ -150,6 +150,13 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     timed("kg_commit_edges", q_kg_commit_edges)
     timed("kg_authored", q_kg_authored)
 
+    # graph analytics over the final edge table + retrieval index
+    from codetoneo4j_ray.pipelines.graph_ops import kg_pagerank, kg_triangles
+
+    timed("inverted_index", data_ops.inverted_index)
+    timed("kg_pagerank", kg_pagerank)
+    timed("kg_triangles", kg_triangles)
+
     total = round(sum(timings.values()), 3)
     return {
         "metric": "kg_build + data-ops wall time",

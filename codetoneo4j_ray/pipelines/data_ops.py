@@ -1521,6 +1521,84 @@ def top_tokens(sf_dir: str, k: int = 50) -> ray.data.Dataset:
     ).sort("rank")
 
 
+_INDEX_MAX_POSTINGS = 256
+
+
+def inverted_index(
+    sf_dir: str, max_postings: int = _INDEX_MAX_POSTINGS
+) -> ray.data.Dataset:
+    """Distributed inverted index: (token, df, postings_csv) per distinct
+    token (same whitespace/lowercase tokenization as top_tokens).
+
+    ``df`` is the exact document frequency; ``postings_csv`` is the
+    posting list capped at the first ``max_postings`` ascending doc_ids
+    — the cap bounds the row size for stop-word-grade tokens whose true
+    posting list is the whole corpus (at index-serving scale the tail
+    of a hot posting list lives in the next index shard, not one row).
+    Per-batch (token, doc_id) pairs are already distinct (a doc's text
+    is one row), so the bucket merge by token is the only exchange."""
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        ids: list[int] = []
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            for tok in set(_words(_sql_lower(text))):
+                toks.append(tok)
+                ids.append(doc_id)
+        return pa.table(
+            {
+                "token": pa.array(toks, pa.string()),
+                "doc_id": pa.array(ids, pa.int64()),
+            }
+        )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["token", "doc_id"], kind="stable")
+        freq = df.groupby("token", sort=False).size().rename("df")
+        df["rn"] = df.groupby("token", sort=False).cumcount()
+        capped = df[df["rn"] < max_postings].copy()
+        capped["doc_str"] = capped["doc_id"].astype("string").astype(object)
+        post = (
+            capped.groupby("token", sort=False)["doc_str"]
+            .agg(",".join)
+            .rename("postings_csv")
+        )
+        out = pd.concat([freq, post], axis=1).reset_index()
+        out["df"] = out["df"].astype("int64")
+        out["postings_csv"] = out["postings_csv"].fillna("")
+        return out[["token", "df", "postings_csv"]]
+
+    parts = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        pairs, batch_format="pyarrow"
+    )
+    return bucketed_apply(parts, ["token"], merge).sort("token")
+
+
+def inverted_index_oracle_sql(max_postings: int = _INDEX_MAX_POSTINGS) -> str:
+    return f"""
+        WITH toks AS (
+            SELECT DISTINCT doc_id, token FROM (
+                SELECT doc_id, unnest(regexp_split_to_array(
+                    trim(lower(text)), '[ \t\n\r]+')) AS token
+                FROM documents
+            ) WHERE token <> ''
+        ),
+        r AS (
+            SELECT token, doc_id, row_number() OVER (
+                PARTITION BY token ORDER BY doc_id
+            ) AS rn FROM toks
+        )
+        SELECT token, count(*) AS df,
+               COALESCE(string_agg(
+                   CASE WHEN rn <= {max_postings}
+                        THEN CAST(doc_id AS VARCHAR) END,
+                   ',' ORDER BY doc_id), '') AS postings_csv
+        FROM r GROUP BY token ORDER BY token
+    """
+
+
 def doc_quality(sf_dir: str) -> ray.data.Dataset:
     """Gopher-style quality gate with integer/bool outputs (SQL-exact):
     (doc_id, n_chars, n_words, punct_per_100_chars, keep)."""

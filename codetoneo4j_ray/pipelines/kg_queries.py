@@ -129,9 +129,11 @@ def q_kg_nodes(sf_dir: str) -> ray.data.Dataset:
     return lww_sorted(finalize_nodes(symbols), "key", _TIEBREAK)
 
 
-def q_kg_edges(sf_dir: str) -> ray.data.Dataset:
-    from codetoneo4j_ray.stages.canonicalize import distinct_sorted
-
+def kg_edges_raw(sf_dir: str) -> ray.data.Dataset:
+    """Pre-dedup edge stream (the oracle's ``all_edges`` CTE): linked
+    mention triples ∪ structural edges, duplicates included. Consumers
+    that dedup themselves (graph_ops' DISTINCT-pair analytics) read this
+    and skip the final table's sort/dedup exchange."""
     paths = ensure_kg(sf_dir)
     records = read_records(paths["records"])
     mentions = ray.data.read_parquet(paths["mentions"]).select_columns(
@@ -140,7 +142,13 @@ def q_kg_edges(sf_dir: str) -> ray.data.Dataset:
     symbols = read_records(paths["records"], "symbol")
     symbol_keys = set(symbols.select_columns(["key"]).to_pandas()["key"])
     sym_edges = resolve_edges_broadcast(mentions, symbol_keys)
-    return distinct_sorted(sym_edges.union(structural_edges(records)))
+    return sym_edges.union(structural_edges(records))
+
+
+def q_kg_edges(sf_dir: str) -> ray.data.Dataset:
+    from codetoneo4j_ray.stages.canonicalize import distinct_sorted
+
+    return distinct_sorted(kg_edges_raw(sf_dir))
 
 
 def q_kg_files(sf_dir: str) -> ray.data.Dataset:
@@ -445,7 +453,15 @@ def oracle_kg(sf_dir: str) -> dict[str, str]:
             FROM (SELECT DISTINCT subj, pred, obj FROM all_edges)
             GROUP BY pred ORDER BY pred
         """,
+        "kg_pagerank": _graph_ops().pagerank_oracle_sql(edges_cte),
+        "kg_triangles": _graph_ops().triangles_oracle_sql(edges_cte),
     }
+
+
+def _graph_ops():
+    from codetoneo4j_ray.pipelines import graph_ops
+
+    return graph_ops
 
 
 DEGREE_TOPK_K = 20

@@ -1,0 +1,163 @@
+"""Graph analytics: fixed-point PageRank + degree-oriented triangles.
+
+Unit fixtures with hand-computable answers, plus end-to-end strict
+oracle comparisons over the sf0.001 KG (the same contract the driver
+gate runs at sf0.01).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _ray(ray_session):
+    yield
+
+
+def _pairs_ds(pairs):
+    import ray.data
+
+    return ray.data.from_items(
+        [{"subj": a, "pred": "p", "obj": b} for a, b in pairs]
+    )
+
+
+def _ref_pagerank(pairs, iters=5, scale=10**9):
+    """Driver-side integer reference implementation."""
+    nodes = sorted({x for p in pairs for x in p})
+    pairs = sorted(set(pairs))
+    out: dict[str, list[str]] = {}
+    for a, b in pairs:
+        out.setdefault(a, []).append(b)
+    r = {n: scale for n in nodes}
+    base = 15 * scale // 100
+    for _ in range(iters):
+        contrib = {n: 0 for n in nodes}
+        for a, dsts in out.items():
+            share = r[a] // len(dsts)
+            for b in dsts:
+                contrib[b] += share
+        r = {n: base + 85 * contrib[n] // 100 for n in nodes}
+    return r
+
+
+def test_pagerank_matches_integer_reference():
+    from codetoneo4j_ray.pipelines.graph_ops import pagerank_over
+
+    # chain + hub + dangling sink; includes a duplicate edge (two preds)
+    pairs = [
+        ("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"),
+        ("d", "a"), ("d", "b"), ("d", "c"), ("e", "d"), ("a", "b"),
+    ]
+    got = pagerank_over(_pairs_ds(pairs)).to_pandas()
+    ref = _ref_pagerank(pairs)
+    assert list(got["node"]) == sorted(ref)
+    assert {n: r for n, r in zip(got["node"], got["rank_fp"])} == ref
+    # rank mass: base floor for the never-cited node
+    assert got.set_index("node")["rank_fp"]["e"] == 15 * 10**9 // 100
+
+
+def test_pagerank_star_symmetry():
+    from codetoneo4j_ray.pipelines.graph_ops import pagerank_over
+
+    pairs = [("hub", f"leaf{i}") for i in range(5)]
+    got = pagerank_over(_pairs_ds(pairs)).to_pandas().set_index("node")
+    leafs = [int(got["rank_fp"][f"leaf{i}"]) for i in range(5)]
+    assert len(set(leafs)) == 1  # symmetric leaves rank identically
+    assert int(got["rank_fp"]["hub"]) < leafs[0]
+
+
+def test_triangles_on_known_graph():
+    from codetoneo4j_ray.pipelines.graph_ops import triangles_over
+
+    # K4 on {a,b,c,d}: 4 triangles, every node in C(3,2)=3 of them;
+    # plus a pendant edge and a self-loop (both must not count)
+    k4 = [(x, y) for x in "abcd" for y in "abcd" if x < y]
+    pairs = k4 + [("d", "e"), ("e", "e")]
+    got = triangles_over(_pairs_ds(pairs)).to_pandas()
+    assert dict(zip(got["node"], got["n_tri"])) == {
+        "a": 3, "b": 3, "c": 3, "d": 3
+    }
+
+
+def test_triangles_direction_and_pred_collapse():
+    from codetoneo4j_ray.pipelines.graph_ops import triangles_over
+
+    # triangle expressed with mixed directions + parallel edges
+    pairs = [("a", "b"), ("b", "a"), ("c", "b"), ("a", "c")]
+    got = triangles_over(_pairs_ds(pairs)).to_pandas()
+    assert dict(zip(got["node"], got["n_tri"])) == {"a": 1, "b": 1, "c": 1}
+
+
+# ---------------------------------------------------------------------------
+# end-to-end strict oracle parity at sf0.001
+# ---------------------------------------------------------------------------
+
+
+def _oracle(name: str):
+    from codetoneo4j_ray.pipelines.kg_queries import ensure_kg, oracle_kg
+
+    ensure_kg(SF)
+    return duckdb.sql(oracle_kg(SF)[name]).df()
+
+
+def test_kg_pagerank_matches_oracle():
+    from codetoneo4j_ray.pipelines.graph_ops import kg_pagerank
+
+    got = kg_pagerank(SF).to_pandas()
+    exp = _oracle("kg_pagerank")
+    assert len(got) == len(exp) > 0
+    assert list(got["node"]) == list(exp["node"])
+    assert list(got["rank_fp"]) == list(exp["rank_fp"])
+
+
+def test_kg_triangles_matches_oracle():
+    from codetoneo4j_ray.pipelines.graph_ops import kg_triangles
+
+    got = kg_triangles(SF).to_pandas()
+    exp = _oracle("kg_triangles")
+    assert len(got) == len(exp) > 0  # the KG must actually have triangles
+    assert list(got["node"]) == list(exp["node"])
+    assert list(got["n_tri"]) == list(exp["n_tri"])
+
+
+def test_inverted_index_matches_oracle():
+    from codetoneo4j_ray.pipelines.data_ops import (
+        inverted_index,
+        inverted_index_oracle_sql,
+    )
+
+    got = inverted_index(SF).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    exp = con.execute(inverted_index_oracle_sql()).df()
+    assert len(got) == len(exp) > 0
+    assert list(got["token"]) == list(exp["token"])
+    assert list(got["df"]) == list(exp["df"])
+    assert list(got["postings_csv"]) == list(exp["postings_csv"])
+
+
+def test_inverted_index_caps_postings(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from codetoneo4j_ray.pipelines.data_ops import inverted_index
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array(list(range(10)), pa.int64()),
+            "text": pa.array(["common word"] * 10, pa.string()),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    got = inverted_index(str(tmp_path), max_postings=3).to_pandas()
+    row = got[got["token"] == "common"].iloc[0]
+    assert row["df"] == 10
+    assert row["postings_csv"] == "0,1,2"
