@@ -22,10 +22,19 @@ Strict-oracle design notes:
   enumerates triangles independently with a key-ordered 3-way
   self-join; the per-node counts must agree exactly.
 
-Both ops consume ``q_kg_edges`` (the deduped, sorted output table), so
-they also serve as end-to-end consumers of the KG pipeline. All joins
-are hash-bucketed exchanges (stages/bucketing.py) — nothing driver-side
-grows with the graph.
+Scale plan (the part that matters at 100 TB): the big sides are pinned
+ONCE into per-bucket object-store pieces (stages/bucketing.BucketStore)
+and every repeated or data-amplifying join becomes a worker-local
+lookup against those pieces:
+
+* PageRank moves the edge list through an exchange exactly once; each
+  of the ``iters`` steps shuffles only node-sized rank rows plus
+  map-side-combined contribution partials (1 exchange per step, vs the
+  naive 2 full edge re-shuffles per step).
+* Triangle counting attaches degrees and closes wedges by bucket
+  lookup, so the wedge stream — the largest intermediate in any
+  triangle plan, O(m^1.5) rows — is generated and consumed in one
+  streaming pass and never enters an all-to-all.
 """
 
 from __future__ import annotations
@@ -35,7 +44,15 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
-from codetoneo4j_ray.stages.bucketing import bucketed_apply
+from codetoneo4j_ray.stages.bucketing import (
+    build_bucket_store,
+    bucketed_apply,
+    hash_bucket_frame,
+    hash_bucket_series,
+    prebucketed_apply,
+    process_cache,
+    target_blocks,
+)
 
 PAGERANK_SCALE = 1_000_000_000  # rank fixed-point unit (1e-9 of total mass)
 PAGERANK_ITERS = 5
@@ -51,38 +68,76 @@ def _dedup(df: pd.DataFrame) -> pd.DataFrame:
     return df.drop_duplicates()
 
 
-def _distinct_pairs(edges: ray.data.Dataset) -> ray.data.Dataset:
-    """Distinct directed (subj, obj) node pairs, pred collapsed."""
-
-    def to_pairs(b: pa.Table) -> pa.Table:
-        df = b.to_pandas()[["subj", "obj"]].drop_duplicates()
-        return pa.Table.from_pandas(df, preserve_index=False)
-
-    return bucketed_apply(
-        edges.map_batches(to_pairs, batch_format="pyarrow"),
-        ["subj", "obj"],
-        _dedup,
-    )
-
-
 def kg_pagerank(
     sf_dir: str,
     iters: int = PAGERANK_ITERS,
     scale: int = PAGERANK_SCALE,
 ) -> ray.data.Dataset:
     """Fixed-point PageRank over the final KG edge table (see
-    :func:`pagerank_over`). Reads the pre-dedup edge stream — the
-    DISTINCT-pair collapse inside pagerank_over subsumes the final
-    table's dedup, so its sort exchange is skipped."""
-    from codetoneo4j_ray.pipelines.kg_queries import kg_edges_raw
+    :func:`pagerank_over`). Reads the once-per-corpus cached distinct
+    edge parquet (ensure_kg_edges) — pred collapse to pairs still
+    happens inside pagerank_over."""
+    from codetoneo4j_ray.pipelines.kg_queries import ensure_kg_edges
 
-    return pagerank_over(kg_edges_raw(sf_dir), iters=iters, scale=scale)
+    edges = ray.data.read_parquet(
+        ensure_kg_edges(sf_dir), columns=["subj", "obj"]
+    )
+    return pagerank_over(edges, iters=iters, scale=scale)
+
+
+class _PageRankStep:
+    """The fused per-iteration map: for each rank row (node, r) in
+    bucket k, join the pinned edge pieces of bucket k (same hash, so
+    edges with subj=node live exactly there) and emit per-obj partial
+    contribution sums ('c' rows, map-side combined) PLUS the node
+    presence rows ('n', so dangling targets survive the next reduce).
+    One map + one rank-sized exchange per iteration; plain task fn +
+    process-level bucket cache, so Ray's reused worker processes keep
+    the fetched edge buckets warm across all iterations and the whole
+    power iteration runs as a single lazy chain with no per-step
+    driver sync."""
+
+    def __init__(self, store, num_buckets: int):
+        self._store = store
+        self._k = num_buckets
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        cache = process_cache(self._store)
+        outs = [
+            pd.DataFrame(
+                {
+                    "node": batch["node"],
+                    "c": np.int64(0),
+                    "side": "n",
+                    "__bucket": batch["__bucket"].astype("int32"),
+                }
+            )
+        ]
+        for k, grp in batch.groupby("__bucket", sort=False):
+            e = cache.bucket_df(int(k))
+            if e.empty:
+                continue
+            m = e.merge(grp[["node", "r"]], left_on="subj", right_on="node")
+            if m.empty:
+                continue
+            c = m["r"].astype("int64") // m["d"].astype("int64")
+            part = (
+                pd.DataFrame({"node": m["obj"], "c": c})
+                .groupby("node", as_index=False)["c"]
+                .sum()
+            )
+            part["c"] = part["c"].astype("int64")
+            part["side"] = "c"
+            part["__bucket"] = hash_bucket_series(part["node"], self._k)
+            outs.append(part[["node", "c", "side", "__bucket"]])
+        return pd.concat(outs, ignore_index=True)
 
 
 def pagerank_over(
     edges: ray.data.Dataset,
     iters: int = PAGERANK_ITERS,
     scale: int = PAGERANK_SCALE,
+    num_buckets: int | None = None,
 ) -> ray.data.Dataset:
     """Fixed-point PageRank (damping 0.85, ``iters`` synchronous steps)
     over distinct (subj, obj) pairs of an edge dataset.
@@ -91,11 +146,36 @@ def pagerank_over(
     + 85 * sum_{u->v}( r(u) // outdeg(u) ) // 100.
 
     Output: (node, rank_fp) for every node appearing in any edge,
-    sorted by node. Per iteration: one rank⋈edge bucket exchange + one
-    contribution-sum exchange; ranks and the degree-annotated edge list
-    are pinned with materialize() so the per-iteration lineage stays
-    flat (same pattern as embedding_kmeans)."""
-    pairs = _distinct_pairs(edges).materialize()
+    sorted by node. The degree-annotated edge list is built in ONE
+    fused exchange (bucket by subj → dedup (subj,obj) → out-degree,
+    exact because every row of a subj co-locates) and pinned as a
+    BucketStore; per iteration only rank rows and combined partials
+    move (one exchange), and the whole ``iters``-step loop is a single
+    lazy map→reduce chain executed in one streaming run — no per-step
+    materialization or driver sync."""
+
+    if num_buckets is None:
+        # buckets double as reduce parallelism AND per-iteration sort
+        # fan-in; scale them with the cluster instead of a fixed 64
+        num_buckets = target_blocks()
+
+    def to_pairs(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()[["subj", "obj"]].drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def dedup_deg(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates().copy()
+        df["d"] = df.groupby("subj")["subj"].transform("size").astype("int64")
+        return df[["subj", "obj", "d"]]
+
+    edges_deg = bucketed_apply(
+        edges.map_batches(to_pairs, batch_format="pyarrow"),
+        ["subj"],
+        dedup_deg,
+        num_buckets,
+        keep_bucket=True,
+    ).materialize()
+    store = build_bucket_store(edges_deg, None, num_buckets)
 
     def endpoints(b: pa.Table) -> pa.Table:
         vals = pd.unique(
@@ -109,99 +189,29 @@ def pagerank_over(
         return pa.table({"node": pa.array(vals, pa.string())})
 
     nodes = bucketed_apply(
-        pairs.map_batches(endpoints, batch_format="pyarrow"),
+        edges_deg.drop_columns(["__bucket", "d"]).map_batches(
+            endpoints, batch_format="pyarrow"
+        ),
         ["node"],
         _dedup,
-    ).materialize()
-
-    def deg_partial(b: pa.Table) -> pa.Table:
-        g = b.to_pandas().groupby("subj", as_index=False).size()
-        return pa.table(
-            {
-                "subj": pa.array(g["subj"], pa.string()),
-                "obj": pa.nulls(len(g), pa.string()),
-                "d": pa.array(g["size"], pa.int64()),
-                "side": pa.array(["d"] * len(g), pa.string()),
-            }
-        )
-
-    def pair_side(b: pa.Table) -> pa.Table:
-        n = b.num_rows
-        return pa.table(
-            {
-                "subj": b["subj"],
-                "obj": b["obj"],
-                "d": pa.nulls(n, pa.int64()),
-                "side": pa.array(["e"] * n, pa.string()),
-            }
-        )
-
-    def attach_deg(df: pd.DataFrame) -> pd.DataFrame:
-        e = df.loc[df["side"] == "e", ["subj", "obj"]]
-        # per-batch partial counts sum to the exact out-degree inside the
-        # bucket (all rows of a subj land here), no separate exchange
-        d = (
-            df.loc[df["side"] == "d", ["subj", "d"]]
-            .groupby("subj", as_index=False)
-            .agg(d=("d", "sum"))
-        )
-        m = e.merge(d, on="subj", how="inner")
-        m["d"] = m["d"].astype("int64")
-        return m[["subj", "obj", "d"]]
-
-    edges_deg = bucketed_apply(
-        pairs.map_batches(pair_side, batch_format="pyarrow").union(
-            pairs.map_batches(deg_partial, batch_format="pyarrow")
-        ),
-        ["subj"],
-        attach_deg,
-    ).materialize()
+        num_buckets,
+        keep_bucket=True,
+    )
 
     base = 15 * scale // 100
 
-    def init_rank(b: pa.Table) -> pa.Table:
-        return pa.table(
+    def init_rank(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
             {
-                "node": b["node"],
-                "r": pa.array([scale] * b.num_rows, pa.int64()),
+                "node": df["node"],
+                "r": np.int64(scale),
+                "__bucket": df["__bucket"].astype("int32"),
             }
         )
 
-    ranks = nodes.map_batches(init_rank, batch_format="pyarrow").materialize()
+    ranks = nodes.map_batches(init_rank, batch_format="pandas")
 
-    def rank_side(b: pa.Table) -> pa.Table:
-        n = b.num_rows
-        return pa.table(
-            {
-                "subj": b["node"],
-                "obj": pa.nulls(n, pa.string()),
-                "d": pc_cast_int64(b["r"]),
-                "side": pa.array(["r"] * n, pa.string()),
-            }
-        )
-
-    def contribute(df: pd.DataFrame) -> pd.DataFrame:
-        e = df.loc[df["side"] == "e", ["subj", "obj", "d"]].rename(
-            columns={"d": "outdeg"}
-        )
-        r = df.loc[df["side"] == "r", ["subj", "d"]].rename(columns={"d": "r"})
-        m = e.merge(r, on="subj", how="inner")
-        c = (m["r"].astype("int64") // m["outdeg"].astype("int64")).astype(
-            "int64"
-        )
-        return pd.DataFrame({"node": m["obj"], "c": c})
-
-    def node_side(b: pa.Table) -> pa.Table:
-        n = b.num_rows
-        return pa.table(
-            {
-                "node": b["node"],
-                "c": pa.nulls(n, pa.int64()),
-                "side": pa.array(["n"] * n, pa.string()),
-            }
-        )
-
-    def apply_rank(df: pd.DataFrame) -> pd.DataFrame:
+    def apply_rank(df: pd.DataFrame, _k: int) -> pd.DataFrame:
         c = df.loc[df["side"] == "c", ["node", "c"]]
         s = c.groupby("node", as_index=False).agg(s=("c", "sum"))
         if len(s) and int(s["s"].max()) > _MAX_SAFE_SUM:
@@ -214,57 +224,18 @@ def pagerank_over(
         m["r"] = base + 85 * m["s"] // 100
         return m[["node", "r"]]
 
-    nodes_tagged = nodes.map_batches(node_side, batch_format="pyarrow")
-
     for _ in range(iters):
-        contrib = bucketed_apply(
-            edges_deg.map_batches(pair_deg_side, batch_format="pyarrow").union(
-                ranks.map_batches(rank_side, batch_format="pyarrow")
-            ),
-            ["subj"],
-            contribute,
+        stepped = ranks.map_batches(
+            _PageRankStep(store, num_buckets), batch_format="pandas"
+        )
+        ranks = prebucketed_apply(stepped, apply_rank, keep_bucket=True)
+
+    def rename(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"node": df["node"], "rank_fp": df["r"].astype("int64")}
         )
 
-        def contrib_side(b: pa.Table) -> pa.Table:
-            n = b.num_rows
-            return pa.table(
-                {
-                    "node": b["node"],
-                    "c": pc_cast_int64(b["c"]),
-                    "side": pa.array(["c"] * n, pa.string()),
-                }
-            )
-
-        ranks = bucketed_apply(
-            nodes_tagged.union(
-                contrib.map_batches(contrib_side, batch_format="pyarrow")
-            ),
-            ["node"],
-            apply_rank,
-        ).materialize()
-
-    def rename(b: pa.Table) -> pa.Table:
-        return pa.table({"node": b["node"], "rank_fp": pc_cast_int64(b["r"])})
-
-    return ranks.map_batches(rename, batch_format="pyarrow").sort("node")
-
-
-def pc_cast_int64(arr: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray:
-    import pyarrow.compute as pc
-
-    return pc.cast(arr, pa.int64())
-
-
-def pair_deg_side(b: pa.Table) -> pa.Table:
-    """(subj, obj, d=outdeg) rows tagged 'e' for the contribution join."""
-    return pa.table(
-        {
-            "subj": b["subj"],
-            "obj": b["obj"],
-            "d": pc_cast_int64(b["d"]),
-            "side": pa.array(["e"] * b.num_rows, pa.string()),
-        }
-    )
+    return ranks.map_batches(rename, batch_format="pandas").sort("node")
 
 
 def pagerank_oracle_sql(
@@ -322,27 +293,118 @@ def pagerank_oracle_sql(
 
 def kg_triangles(sf_dir: str, k: int = TRIANGLE_TOPK_K) -> ray.data.Dataset:
     """Triangle participation top-k over the final KG edge table (see
-    :func:`triangles_over`). Reads the pre-dedup edge stream — the
-    canonical-undirected-pair collapse subsumes the final dedup."""
-    from codetoneo4j_ray.pipelines.kg_queries import kg_edges_raw
+    :func:`triangles_over`). Reads the once-per-corpus cached distinct
+    edge parquet (ensure_kg_edges); the canonical-undirected-pair
+    collapse still folds preds/directions."""
+    from codetoneo4j_ray.pipelines.kg_queries import ensure_kg_edges
 
-    return triangles_over(kg_edges_raw(sf_dir), k=k)
+    edges = ray.data.read_parquet(
+        ensure_kg_edges(sf_dir), columns=["subj", "obj"]
+    )
+    return triangles_over(edges, k=k)
+
+
+class _DegOrient:
+    """Attach (deg_a, deg_b) to undirected pairs by degree-store lookup
+    and orient each edge from its (degree, key)-smaller endpoint."""
+
+    def __init__(self, store, num_buckets: int):
+        self._store = store
+        self._k = num_buckets
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame(
+                {
+                    "src": pd.Series([], dtype=object),
+                    "dst": pd.Series([], dtype=object),
+                    "__bucket": pd.Series([], dtype="int32"),
+                }
+            )
+        cache = process_cache(self._store)
+        ka = hash_bucket_series(batch["a"], self._k)
+        kb = hash_bucket_series(batch["b"], self._k)
+        need = np.unique(np.concatenate([ka, kb]))
+        frames = [cache.bucket_df(int(x)) for x in need]
+        frames = [f for f in frames if not f.empty]
+        dm = pd.concat(frames).set_index("node")["d"]
+        a = batch["a"].to_numpy()
+        b = batch["b"].to_numpy()
+        da = batch["a"].map(dm).to_numpy(dtype="int64")
+        db = batch["b"].map(dm).to_numpy(dtype="int64")
+        a_first = (da < db) | ((da == db) & (a < b))
+        out = pd.DataFrame(
+            {"src": np.where(a_first, a, b), "dst": np.where(a_first, b, a)}
+        )
+        out["__bucket"] = hash_bucket_series(out["src"], self._k)
+        return out
+
+
+class _CloseWedges:
+    """Close wedges against the pinned undirected-edge store and emit
+    per-node triangle-participation partial counts — a pure streaming
+    consumer, so the O(m^1.5) wedge rows never enter an exchange."""
+
+    def __init__(self, store, num_buckets: int):
+        self._store = store
+        self._k = num_buckets
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        cache = process_cache(self._store)
+        outs = []
+        if len(batch):
+            ids = hash_bucket_frame(batch, ["a", "b"], self._k)
+            for kk in np.unique(ids):
+                e = cache.bucket_df(int(kk))
+                if e.empty:
+                    continue
+                w = batch[ids == kk]
+                m = w.merge(e, on=["a", "b"], how="inner")
+                if m.empty:
+                    continue
+                cnt = pd.concat([m["center"], m["a"], m["b"]]).value_counts()
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "node": cnt.index.to_numpy(),
+                            "n_tri": cnt.to_numpy().astype("int64"),
+                        }
+                    )
+                )
+        if outs:
+            out = pd.concat(outs, ignore_index=True)
+        else:
+            out = pd.DataFrame(
+                {
+                    "node": pd.Series([], dtype=object),
+                    "n_tri": pd.Series([], dtype="int64"),
+                }
+            )
+        out["__bucket"] = hash_bucket_series(out["node"], self._k)
+        return out
 
 
 def triangles_over(
-    edges: ray.data.Dataset, k: int = TRIANGLE_TOPK_K
+    edges: ray.data.Dataset,
+    k: int = TRIANGLE_TOPK_K,
+    num_buckets: int | None = None,
 ) -> ray.data.Dataset:
     """Top-k nodes by triangle participation over the undirected,
     self-loop-free distinct pair graph of an edge dataset.
 
     Plan (Cohen's degree-oriented MapReduce scheme): canonical
-    undirected pairs → per-node degrees → orient each edge from the
-    (degree, key)-smaller endpoint → per-source wedge generation
-    (all-pairs of out-neighbors, out-degree ≤ O(sqrt(m)) by the
-    orientation) → bucketed wedge⋈edge join closes triangles, each
-    counted exactly once at its unique orientation-source vertex →
-    per-node count + the same local-topk/global-merge as
-    kg_degree_topk. Output (node, n_tri), ordered by node."""
+    undirected pairs (ONE exchange, bucketed by ``a`` — exact dedup
+    since identical pairs share ``a``) → per-node degrees (one
+    exchange, pinned as a BucketStore) → degree attach + orientation
+    by store lookup (no exchange) → per-source wedge generation (one
+    exchange of the oriented edges; out-degree ≤ O(sqrt(m)) by the
+    orientation) → wedge closing by undirected-store lookup (no
+    exchange — wedges stream straight into partial counts) → count
+    merge + the same local-topk/global-merge as kg_degree_topk.
+    Output (node, n_tri), ordered by node."""
+
+    if num_buckets is None:
+        num_buckets = target_blocks()
 
     def undirected(b: pa.Table) -> pa.Table:
         df = b.to_pandas()
@@ -357,8 +419,9 @@ def triangles_over(
 
     und = bucketed_apply(
         edges.map_batches(undirected, batch_format="pyarrow"),
-        ["a", "b"],
+        ["a"],
         _dedup,
+        num_buckets,
     ).materialize()
 
     def deg_partial(b: pa.Table) -> pa.Table:
@@ -375,144 +438,25 @@ def triangles_over(
         und.map_batches(deg_partial, batch_format="pyarrow"),
         ["node"],
         lambda df: df.groupby("node", as_index=False).agg(d=("d", "sum")),
-    ).materialize()
+        num_buckets,
+        keep_bucket=True,
+    )
+    deg_store = build_bucket_store(deg, None, num_buckets)
+    und_store = build_bucket_store(und, ["a", "b"], num_buckets)
 
-    # two bucket joins attach (deg_a, deg_b) to every undirected edge
-    def edge_side_a(b: pa.Table) -> pa.Table:
-        n = b.num_rows
-        return pa.table(
-            {
-                "a": b["a"],
-                "b": b["b"],
-                "d": pa.nulls(n, pa.int64()),
-                "side": pa.array(["e"] * n, pa.string()),
-            }
-        )
-
-    def deg_side_a(b: pa.Table) -> pa.Table:
-        n = b.num_rows
-        return pa.table(
-            {
-                "a": b["node"],
-                "b": pa.nulls(n, pa.string()),
-                "d": pc_cast_int64(b["d"]),
-                "side": pa.array(["d"] * n, pa.string()),
-            }
-        )
-
-    def join_a(df: pd.DataFrame) -> pd.DataFrame:
-        e = df.loc[df["side"] == "e", ["a", "b"]]
-        d = df.loc[df["side"] == "d", ["a", "d"]].rename(columns={"d": "da"})
-        m = e.merge(d, on="a", how="inner")
-        m["da"] = m["da"].astype("int64")
-        return m[["a", "b", "da"]]
-
-    with_da = bucketed_apply(
-        und.map_batches(edge_side_a, batch_format="pyarrow").union(
-            deg.map_batches(deg_side_a, batch_format="pyarrow")
-        ),
-        ["a"],
-        join_a,
+    oriented = und.map_batches(
+        _DegOrient(deg_store, num_buckets), batch_format="pandas"
     )
 
-    def edge_side_b(b: pa.Table) -> pa.Table:
-        n = b.num_rows
-        return pa.table(
-            {
-                "a": b["a"],
-                "b": b["b"],
-                "da": pc_cast_int64(b["da"]),
-                "d": pa.nulls(n, pa.int64()),
-                "side": pa.array(["e"] * n, pa.string()),
-            }
-        )
-
-    def deg_side_b(b: pa.Table) -> pa.Table:
-        n = b.num_rows
-        return pa.table(
-            {
-                "a": pa.nulls(n, pa.string()),
-                "b": b["node"],
-                "da": pa.nulls(n, pa.int64()),
-                "d": pc_cast_int64(b["d"]),
-                "side": pa.array(["d"] * n, pa.string()),
-            }
-        )
-
-    def join_b_orient(df: pd.DataFrame) -> pd.DataFrame:
-        e = df.loc[df["side"] == "e", ["a", "b", "da"]]
-        d = df.loc[df["side"] == "d", ["b", "d"]].rename(columns={"d": "db"})
-        m = e.merge(d, on="b", how="inner")
-        a = m["a"].to_numpy()
-        b_ = m["b"].to_numpy()
-        da = m["da"].to_numpy().astype("int64")
-        db = m["db"].to_numpy().astype("int64")
-        a_first = (da < db) | ((da == db) & (a < b_))
-        return pd.DataFrame(
-            {
-                "src": np.where(a_first, a, b_),
-                "dst": np.where(a_first, b_, a),
-            }
-        )
-
-    oriented = bucketed_apply(
-        with_da.map_batches(edge_side_b, batch_format="pyarrow").union(
-            deg.map_batches(deg_side_b, batch_format="pyarrow")
-        ),
-        ["b"],
-        join_b_orient,
-    )
-
-    def wedges(df: pd.DataFrame) -> pd.DataFrame:
+    def wedges(df: pd.DataFrame, _k: int) -> pd.DataFrame:
         m = df.merge(df, on="src")
         m = m[m["dst_x"] < m["dst_y"]]
         return pd.DataFrame(
             {"a": m["dst_x"], "b": m["dst_y"], "center": m["src"]}
         )
 
-    wedge_rows = bucketed_apply(oriented, ["src"], wedges)
-
-    def und_side(b: pa.Table) -> pa.Table:
-        n = b.num_rows
-        return pa.table(
-            {
-                "a": b["a"],
-                "b": b["b"],
-                "center": pa.nulls(n, pa.string()),
-                "side": pa.array(["e"] * n, pa.string()),
-            }
-        )
-
-    def wedge_side(b: pa.Table) -> pa.Table:
-        n = b.num_rows
-        return pa.table(
-            {
-                "a": b["a"],
-                "b": b["b"],
-                "center": b["center"],
-                "side": pa.array(["w"] * n, pa.string()),
-            }
-        )
-
-    def close(df: pd.DataFrame) -> pd.DataFrame:
-        e = df.loc[df["side"] == "e", ["a", "b"]]
-        w = df.loc[df["side"] == "w", ["a", "b", "center"]]
-        m = w.merge(e, on=["a", "b"], how="inner")
-        nodes = pd.concat([m["center"], m["a"], m["b"]])
-        cnt = nodes.value_counts()
-        return pd.DataFrame(
-            {
-                "node": cnt.index.to_numpy(),
-                "n_tri": cnt.to_numpy().astype("int64"),
-            }
-        )
-
-    tri_partial = bucketed_apply(
-        und.map_batches(und_side, batch_format="pyarrow").union(
-            wedge_rows.map_batches(wedge_side, batch_format="pyarrow")
-        ),
-        ["a", "b"],
-        close,
+    tri_partial = prebucketed_apply(oriented, wedges).map_batches(
+        _CloseWedges(und_store, num_buckets), batch_format="pandas"
     )
 
     def topk(df: pd.DataFrame) -> pd.DataFrame:
@@ -522,11 +466,11 @@ def triangles_over(
         df["n_tri"] = df["n_tri"].astype("int64")
         return df
 
-    def merge_counts(df: pd.DataFrame) -> pd.DataFrame:
+    def merge_counts(df: pd.DataFrame, _k: int) -> pd.DataFrame:
         return topk(df.groupby("node", as_index=False).agg(n_tri=("n_tri", "sum")))
 
     return bucketed_apply(
-        bucketed_apply(tri_partial, ["node"], merge_counts), [], topk
+        prebucketed_apply(tri_partial, merge_counts), [], topk
     ).sort("node")
 
 

@@ -151,6 +151,29 @@ def q_kg_edges(sf_dir: str) -> ray.data.Dataset:
     return distinct_sorted(kg_edges_raw(sf_dir))
 
 
+def ensure_kg_edges(sf_dir: str) -> str:
+    """Distinct (subj, pred, obj) edge table, computed once per corpus
+    and cached as parquet (unsorted — consumers that need order sort
+    themselves). Shared input of the graph-analytics ops, which would
+    otherwise each re-run the linking maps per query."""
+    from codetoneo4j_ray.stages.bucketing import bucketed_apply, coalesce
+
+    paths = ensure_kg(sf_dir)
+    fp = corpus_fingerprint(paths["corpus"], _KG_CONFIG)
+    out = os.path.join(paths["out"], "edges_distinct")
+    if stage_is_complete(paths["out"], "edges_distinct", fp):
+        return out
+    distinct = bucketed_apply(
+        kg_edges_raw(sf_dir),
+        ["subj", "pred", "obj"],
+        lambda df: df.drop_duplicates(),
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    coalesce(distinct).write_parquet(out)
+    write_manifest(paths["out"], "edges_distinct", fp, {})
+    return out
+
+
 def q_kg_files(sf_dir: str) -> ray.data.Dataset:
     from codetoneo4j_ray.stages.canonicalize import _FILE_TIEBREAK, lww_sorted
 

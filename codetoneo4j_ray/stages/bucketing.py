@@ -84,7 +84,11 @@ def add_bucket_column(
         if len(cols) == 1:
             joined = cols[0]
         else:
-            joined = pc.binary_join_element_wise(*cols, "\x00")
+            # \x1f (unit separator), not \x00: pandas' vectorized string
+            # concat silently truncates at NUL, and hash_bucket_frame
+            # must reproduce this join byte-for-byte map-side. Separator
+            # collisions only coarsen bucket identity, never split a key.
+            joined = pc.binary_join_element_wise(*cols, "\x1f")
         return batch.append_column("__bucket", _hash_bucket(joined, num_buckets))
 
     return ds.map_batches(add, batch_format="pyarrow")
@@ -95,12 +99,22 @@ def bucketed_apply(
     key_cols: list[str],
     bucket_fn,
     num_buckets: int = DEFAULT_BUCKETS,
+    keep_bucket: bool = False,
 ) -> ray.data.Dataset:
     """Hash rows into buckets by key_cols; run ``bucket_fn(pandas_df)``
-    once per bucket (vectorized). fn must not depend on bucket identity."""
+    once per bucket (vectorized). fn must not depend on bucket identity.
+
+    ``keep_bucket=True`` re-attaches the group's bucket id to the output
+    rows — valid ONLY when fn's output keys are drawn from the group's
+    input keys (dedup/aggregate/LWW), so every output row still hashes
+    to the same bucket. Lets iterative consumers skip re-hashing."""
 
     def apply(group: pd.DataFrame) -> pd.DataFrame:
+        bucket = group["__bucket"].iloc[0] if len(group) else 0
         out = bucket_fn(group.drop(columns="__bucket"))
+        if keep_bucket:
+            out = out.copy()
+            out["__bucket"] = np.int32(bucket)
         return out
 
     return (
@@ -108,3 +122,159 @@ def bucketed_apply(
         .groupby("__bucket")
         .map_groups(apply, batch_format="pandas")
     )
+
+
+def prebucketed_apply(
+    ds: ray.data.Dataset, bucket_fn, keep_bucket: bool = False
+) -> ray.data.Dataset:
+    """bucketed_apply over rows that already carry a ``__bucket`` column
+    (e.g. produced by a keep_bucket=True stage or computed map-side with
+    :func:`hash_bucket_series`). One exchange, no re-hash, no coalesce —
+    callers feed it map outputs of already-exchanged datasets, whose
+    block count is bounded by the bucket count, so the sort fan-in is
+    bounded by construction. ``bucket_fn`` receives the bucket-id as a
+    second argument."""
+
+    def apply(group: pd.DataFrame) -> pd.DataFrame:
+        bucket = int(group["__bucket"].iloc[0]) if len(group) else 0
+        out = bucket_fn(group.drop(columns="__bucket"), bucket)
+        if keep_bucket:
+            out = out.copy()
+            out["__bucket"] = np.int32(bucket)
+        return out
+
+    return ds.groupby("__bucket").map_groups(apply, batch_format="pandas")
+
+
+def hash_bucket_series(s: pd.Series, num_buckets: int = DEFAULT_BUCKETS) -> np.ndarray:
+    """Map-side bucket ids for a pandas string column — the SAME hash as
+    add_bucket_column on a single string key column, so rows tagged here
+    co-locate with keep_bucket=True outputs of that key."""
+    obj = s.to_numpy(dtype=object, copy=False)
+    h = pd.util.hash_array(np.asarray(obj, dtype=object), categorize=False)
+    return (h % num_buckets).astype(np.int32)
+
+
+def hash_bucket_frame(
+    df: pd.DataFrame, cols: list[str], num_buckets: int = DEFAULT_BUCKETS
+) -> np.ndarray:
+    """Map-side bucket ids over multiple STRING key columns — matches
+    add_bucket_column's \\x00-joined key exactly (string, non-null
+    columns only)."""
+    if len(cols) == 1:
+        return hash_bucket_series(df[cols[0]], num_buckets)
+    joined = df[cols[0]]
+    for c in cols[1:]:
+        joined = joined + "\x1f" + df[c]
+    return hash_bucket_series(joined, num_buckets)
+
+
+# ---------------------------------------------------------------------------
+# Pinned bucket store: the partitioned-broadcast side of iterative and
+# lookup joins. The big side is hashed into per-bucket object-store
+# pieces ONCE; consumers (actor pools) fetch only the buckets their
+# batch touches and cache them. This is what lets PageRank move the
+# edge list a single time instead of once per iteration, and lets
+# wedge-closing in triangle counting avoid shuffling the wedge stream.
+# At cluster scale each piece lives in the object store (spillable) and
+# is served to whichever node asks; raise num_buckets with data size so
+# a single bucket stays worker-heap-sized.
+# ---------------------------------------------------------------------------
+
+
+@ray.remote
+def _split_block(block, num_buckets: int):
+    """One shuffle map task: split a pre-bucketed block into K pieces
+    (None for empty buckets). Returned as num_returns=K objects so the
+    driver only ever holds refs, never data."""
+    if isinstance(block, pd.DataFrame):
+        table = pa.Table.from_pandas(block, preserve_index=False)
+    else:
+        table = block
+    if table.num_rows == 0 or "__bucket" not in table.column_names:
+        return tuple([None] * num_buckets)
+    ids = table["__bucket"].to_numpy(zero_copy_only=False)
+    body = table.drop_columns(["__bucket"])
+    out = []
+    for k in range(num_buckets):
+        mask = ids == k
+        out.append(body.filter(pa.array(mask)) if mask.any() else None)
+    return tuple(out)
+
+
+class BucketStore:
+    """Handle to a dataset pinned as per-bucket object-store pieces.
+
+    ``pieces[k]`` is the list of ObjectRefs whose concatenation is the
+    full content of bucket k (minus the __bucket column). Serializable —
+    ship it inside map_batches callables; consumers go through
+    :func:`process_cache` so the fetched buckets survive across stages
+    in each reused worker process."""
+
+    def __init__(self, pieces: list[list], num_buckets: int):
+        self.pieces = pieces
+        self.num_buckets = num_buckets
+        first = next((p[0] for p in pieces if p), None)
+        self.token = f"{first.hex() if first is not None else ''}:{num_buckets}"
+
+
+def build_bucket_store(
+    ds: ray.data.Dataset,
+    key_cols: list[str] | None,
+    num_buckets: int = DEFAULT_BUCKETS,
+) -> BucketStore:
+    """Pin ``ds`` into a BucketStore keyed by ``key_cols``. Pass
+    key_cols=None when rows already carry __bucket (keep_bucket=True
+    upstream) to skip the re-hash pass."""
+    if key_cols is not None:
+        ds = add_bucket_column(ds, key_cols, num_buckets)
+    mat = ds.materialize()
+    block_refs = [
+        br
+        for bundle in mat.iter_internal_ref_bundles()
+        for br in bundle.block_refs
+    ]
+    split = _split_block.options(num_returns=num_buckets)
+    per_block = [split.remote(r, num_buckets) for r in block_refs]
+    pieces = [[pb[k] for pb in per_block] for k in range(num_buckets)]
+    return BucketStore(pieces, num_buckets)
+
+
+class BucketCache:
+    """Per-actor LRU over BucketStore buckets (as pandas frames). The
+    cap bounds actor heap: a re-fetch after eviction hits the local
+    object store, not a recompute."""
+
+    def __init__(self, store: BucketStore, cap: int = 16):
+        self._store = store
+        self._cap = cap
+        self._cache: dict[int, pd.DataFrame] = {}
+
+    def bucket_df(self, k: int) -> pd.DataFrame:
+        hit = self._cache.pop(k, None)
+        if hit is not None:
+            self._cache[k] = hit  # refresh LRU position
+            return hit
+        tables = [t for t in ray.get(self._store.pieces[k]) if t is not None]
+        if tables:
+            df = pa.concat_tables(tables).to_pandas()
+        else:
+            df = pd.DataFrame()
+        if len(self._cache) >= self._cap:
+            self._cache.pop(next(iter(self._cache)))
+        self._cache[k] = df
+        return df
+
+
+_PROCESS_BUCKET_CACHES: dict[str, BucketCache] = {}
+
+
+def process_cache(store: BucketStore, cap: int = 16) -> BucketCache:
+    """Worker-process-level BucketCache, keyed by the store's identity.
+    Ray reuses worker processes across the stages of a session, so an
+    iterative pipeline's later stages hit buckets already fetched by
+    earlier ones — without paying actor-pool startup per stage."""
+    c = _PROCESS_BUCKET_CACHES.get(store.token)
+    if c is None:
+        c = _PROCESS_BUCKET_CACHES[store.token] = BucketCache(store, cap)
+    return c
