@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_degree_topk": q_kg_degree_topk,
         "kg_pagerank": graph_ops.kg_pagerank,
         "kg_triangles": graph_ops.kg_triangles,
+        "kg_components": graph_ops.kg_components,
         "kg_mentions_raw": q_kg_mentions_raw,
         # commit subgraph (UpsertCommit/UpsertFile cypher analogs)
         "kg_commits": q_kg_commits,
@@ -93,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": data_ops.decontaminate,
         "top_tokens": data_ops.top_tokens,
         "inverted_index": data_ops.inverted_index,
+        "tfidf_topk": data_ops.tfidf_topk,
         "doc_fingerprint": data_ops.doc_fingerprint,
         "doc_scrub": data_ops.doc_scrub,
         "doc_winnow": data_ops.doc_winnow,
@@ -185,6 +187,7 @@ def oracle_sql() -> dict[str, str]:
                 WHERE "rank" <= 50 ORDER BY "rank"
             """,
             "inverted_index": data_ops.inverted_index_oracle_sql(),
+            "tfidf_topk": data_ops.tfidf_topk_oracle_sql(),
             "doc_scrub": r"""
                 SELECT doc_id,
                        length(regexp_extract_all(text,

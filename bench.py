@@ -151,11 +151,17 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     timed("kg_authored", q_kg_authored)
 
     # graph analytics over the final edge table + retrieval index
-    from codetoneo4j_ray.pipelines.graph_ops import kg_pagerank, kg_triangles
+    from codetoneo4j_ray.pipelines.graph_ops import (
+        kg_components,
+        kg_pagerank,
+        kg_triangles,
+    )
 
     timed("inverted_index", data_ops.inverted_index)
+    timed("tfidf_topk", data_ops.tfidf_topk)
     timed("kg_pagerank", kg_pagerank)
     timed("kg_triangles", kg_triangles)
+    timed("kg_components", kg_components)
 
     total = round(sum(timings.values()), 3)
     return {

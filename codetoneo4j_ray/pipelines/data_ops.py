@@ -1599,6 +1599,100 @@ def inverted_index_oracle_sql(max_postings: int = _INDEX_MAX_POSTINGS) -> str:
     """
 
 
+_TFIDF_K = 5
+
+
+def tfidf_topk(sf_dir: str, k: int = _TFIDF_K) -> ray.data.Dataset:
+    """Integer-scored TF-IDF: the top-``k`` terms per document by
+    ``score = tf * N // df`` (same monotone ranking as tf·(N/df), but
+    all-BIGINT so a distributed run is hash-exact against SQL — float
+    log-idf could never be). Ties break by token.
+
+    Plan: per-batch exact (doc_id, token, tf) triples (a doc is one
+    row, so tf is exact map-side) → ONE exchange bucketed by token
+    attaches df (= group size, since (doc,token) rows are distinct) and
+    the score → ONE exchange bucketed by doc_id takes the per-doc
+    top-k. N is a parquet-metadata count, not a materialization.
+    Output (doc_id, token, tf, df, score) ordered by (doc_id, token)."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    n_docs = docs.count()
+
+    def tf_pairs(batch: pa.Table) -> pa.Table:
+        ids: list[int] = []
+        toks: list[str] = []
+        tfs: list[int] = []
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            cnt: dict[str, int] = {}
+            for w in _words(_sql_lower(text)):
+                cnt[w] = cnt.get(w, 0) + 1
+            for t, c in cnt.items():
+                ids.append(doc_id)
+                toks.append(t)
+                tfs.append(c)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "token": pa.array(toks, pa.string()),
+                "tf": pa.array(tfs, pa.int64()),
+            }
+        )
+
+    def attach_df(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["df"] = df.groupby("token")["token"].transform("size").astype("int64")
+        df["score"] = (df["tf"].astype("int64") * n_docs) // df["df"]
+        return df[["doc_id", "token", "tf", "df", "score"]]
+
+    with_df = bucketed_apply(
+        docs.map_batches(tf_pairs, batch_format="pyarrow"),
+        ["token"],
+        attach_df,
+    )
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["doc_id", "score", "token"],
+            ascending=[True, False, True],
+            kind="stable",
+        )
+        df = df[df.groupby("doc_id").cumcount() < k]
+        return df[["doc_id", "token", "tf", "df", "score"]]
+
+    return bucketed_apply(with_df, ["doc_id"], topk).sort(["doc_id", "token"])
+
+
+def tfidf_topk_oracle_sql(k: int = _TFIDF_K) -> str:
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, token FROM (
+                SELECT doc_id, unnest(regexp_split_to_array(
+                    trim(lower(text)), '[ \t\n\r]+')) AS token
+                FROM documents
+            ) WHERE token <> ''
+        ),
+        tfq AS (
+            SELECT doc_id, token, count(*) AS tf
+            FROM toks GROUP BY doc_id, token
+        ),
+        dfq AS (SELECT token, count(*) AS df FROM tfq GROUP BY token),
+        n AS (SELECT count(*) AS n FROM documents),
+        scored AS (
+            SELECT tfq.doc_id, tfq.token, tfq.tf, dfq.df,
+                   CAST(tfq.tf * n.n // dfq.df AS BIGINT) AS score
+            FROM tfq JOIN dfq USING (token) CROSS JOIN n
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY score DESC, token
+            ) AS rn FROM scored
+        )
+        SELECT doc_id, token, tf, df, score FROM ranked
+        WHERE rn <= {k} ORDER BY doc_id, token
+    """
+
+
 def doc_quality(sf_dir: str) -> ray.data.Dataset:
     """Gopher-style quality gate with integer/bool outputs (SQL-exact):
     (doc_id, n_chars, n_words, punct_per_100_chars, keep)."""

@@ -224,11 +224,14 @@ def pagerank_over(
         m["r"] = base + 85 * m["s"] // 100
         return m[["node", "r"]]
 
-    for _ in range(iters):
+    for i in range(iters):
         stepped = ranks.map_batches(
             _PageRankStep(store, num_buckets), batch_format="pandas"
         )
         ranks = prebucketed_apply(stepped, apply_rank, keep_bucket=True)
+        if (i + 1) % _CHAIN_CHECKPOINT == 0 and i + 1 < iters:
+            # bound lazy-plan growth (see components_over)
+            ranks = ranks.materialize()
 
     def rename(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -283,6 +286,183 @@ def pagerank_oracle_sql(
         ),
         {chain}
         SELECT node, r AS rank_fp FROM {prev} ORDER BY node
+    """
+
+
+# ---------------------------------------------------------------------------
+# Connected components (fixed-iteration min-label propagation)
+# ---------------------------------------------------------------------------
+
+CC_ITERS = 8
+
+# checkpoint cadence for iterative lazy chains (see components_over)
+_CHAIN_CHECKPOINT = 3
+
+
+def kg_components(sf_dir: str, iters: int = CC_ITERS) -> ray.data.Dataset:
+    """Min-label component ids over the final KG edge table (see
+    :func:`components_over`), from the once-per-corpus cached distinct
+    edge parquet."""
+    from codetoneo4j_ray.pipelines.kg_queries import ensure_kg_edges
+
+    edges = ray.data.read_parquet(
+        ensure_kg_edges(sf_dir), columns=["subj", "obj"]
+    )
+    return components_over(edges, iters=iters)
+
+
+class _MinLabelStep:
+    """Fused per-iteration map for label propagation: each label row
+    (node, lbl) in bucket k emits itself as a candidate plus, via the
+    pinned symmetric-adjacency pieces of bucket k, per-neighbor
+    candidate minima (map-side combined). MIN is idempotent, so
+    duplicate candidates are harmless and no presence/side column is
+    needed."""
+
+    def __init__(self, store, num_buckets: int):
+        self._store = store
+        self._k = num_buckets
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        cache = process_cache(self._store)
+        outs = [
+            pd.DataFrame(
+                {
+                    "node": batch["node"],
+                    "cand": batch["lbl"],
+                    "__bucket": batch["__bucket"].astype("int32"),
+                }
+            )
+        ]
+        for k, grp in batch.groupby("__bucket", sort=False):
+            adj = cache.bucket_df(int(k))
+            if adj.empty:
+                continue
+            m = adj.merge(grp[["node", "lbl"]], left_on="src", right_on="node")
+            if m.empty:
+                continue
+            part = (
+                pd.DataFrame({"node": m["dst"], "cand": m["lbl"]})
+                .groupby("node", as_index=False)["cand"]
+                .min()
+            )
+            part["__bucket"] = hash_bucket_series(part["node"], self._k)
+            outs.append(part[["node", "cand", "__bucket"]])
+        return pd.concat(outs, ignore_index=True)
+
+
+def components_over(
+    edges: ray.data.Dataset,
+    iters: int = CC_ITERS,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Deterministic ``iters``-hop min-label propagation over the
+    symmetric closure of the distinct (subj, obj) pairs: every node
+    starts labeled with its own key; each synchronous step takes the
+    MIN over its own and all neighbors' labels. After ``iters`` steps
+    the label equals the true connected-component minimum for every
+    component whose diameter is ≤ iters (and is a deterministic,
+    strict-oracle-checkable fixed point regardless).
+
+    Same topology as pagerank_over: the symmetric adjacency is built
+    in one exchange and pinned as a BucketStore; each step is one
+    fused map + one node-sized exchange, the whole loop one lazy
+    chain. Output (node, comp), sorted by node. ``iters`` must be ≥ 1
+    (the first reduce also dedups the map-side label init)."""
+    if iters < 1:
+        raise ValueError("components_over requires iters >= 1")
+    if num_buckets is None:
+        num_buckets = target_blocks()
+
+    def sym_pairs(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()[["subj", "obj"]]
+        out = pd.DataFrame(
+            {
+                "src": np.concatenate([df["subj"].to_numpy(), df["obj"].to_numpy()]),
+                "dst": np.concatenate([df["obj"].to_numpy(), df["subj"].to_numpy()]),
+            }
+        ).drop_duplicates()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    # bucketed by src: symmetric closure puts every endpoint on the src
+    # side, so distinct src per bucket doubles as the global node list
+    adj = bucketed_apply(
+        edges.map_batches(sym_pairs, batch_format="pyarrow"),
+        ["src"],
+        _dedup,
+        num_buckets,
+        keep_bucket=True,
+    ).materialize()
+    store = build_bucket_store(adj, None, num_buckets)
+
+    def init_labels(df: pd.DataFrame) -> pd.DataFrame:
+        # plain map: a bucket's block may split across batches, so a
+        # node can appear twice — harmless, MIN dedups at the first
+        # reduce (which always runs: iters >= 1 below)
+        nodes = df[["src", "__bucket"]].drop_duplicates("src")
+        return pd.DataFrame(
+            {
+                "node": nodes["src"],
+                "lbl": nodes["src"],
+                "__bucket": nodes["__bucket"].astype("int32"),
+            }
+        )
+
+    labels = adj.map_batches(init_labels, batch_format="pandas")
+
+    def min_reduce(df: pd.DataFrame, _k: int) -> pd.DataFrame:
+        out = df.groupby("node", as_index=False)["cand"].min()
+        return out.rename(columns={"cand": "lbl"})
+
+    for i in range(iters):
+        stepped = labels.map_batches(
+            _MinLabelStep(store, num_buckets), batch_format="pandas"
+        )
+        labels = prebucketed_apply(stepped, min_reduce, keep_bucket=True)
+        if (i + 1) % _CHAIN_CHECKPOINT == 0 and i + 1 < iters:
+            # bound the lazy plan: Ray's planning/execution overhead
+            # grows superlinearly with chained sort stages, so pin the
+            # (node-sized) labels every few steps
+            labels = labels.materialize()
+
+    def rename(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": df["node"], "comp": df["lbl"]})
+
+    return labels.map_batches(rename, batch_format="pandas").sort("node")
+
+
+def components_oracle_sql(edges_cte: str, iters: int = CC_ITERS) -> str:
+    """Unrolled fixed-iteration min-label CTE chain (same no-recursion
+    rationale as pagerank_oracle_sql: the node list re-joins every
+    step). cc_sym includes a self-loop per node so each step is ONE
+    join+min over the previous level — referencing the previous CTE a
+    single time is load-bearing: DuckDB inlines (does not materialize)
+    CTEs, so a step that referenced it twice would re-evaluate the
+    whole chain exponentially (2^iters plans)."""
+    steps = []
+    prev = "l0"
+    for i in range(1, iters + 1):
+        steps.append(
+            f"""l{i} AS (
+            SELECT e.dst AS node, min(l.lbl) AS lbl
+            FROM cc_sym e JOIN {prev} l ON l.node = e.src
+            GROUP BY e.dst
+        )"""
+        )
+        prev = f"l{i}"
+    chain = ",\n        ".join(steps)
+    return f"""
+        WITH {edges_cte},
+        cc_pairs AS (SELECT DISTINCT subj, obj FROM all_edges),
+        cc_sym AS (
+            SELECT subj AS src, obj AS dst FROM cc_pairs
+            UNION SELECT obj, subj FROM cc_pairs
+            UNION SELECT subj, subj FROM cc_pairs
+            UNION SELECT obj, obj FROM cc_pairs
+        ),
+        l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM cc_sym),
+        {chain}
+        SELECT node, lbl AS comp FROM {prev} ORDER BY node
     """
 
 

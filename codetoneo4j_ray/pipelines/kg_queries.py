@@ -478,6 +478,7 @@ def oracle_kg(sf_dir: str) -> dict[str, str]:
         """,
         "kg_pagerank": _graph_ops().pagerank_oracle_sql(edges_cte),
         "kg_triangles": _graph_ops().triangles_oracle_sql(edges_cte),
+        "kg_components": _graph_ops().components_oracle_sql(edges_cte),
     }
 
 

@@ -71,6 +71,43 @@ def test_pagerank_star_symmetry():
     assert int(got["rank_fp"]["hub"]) < leafs[0]
 
 
+def test_components_on_known_graph():
+    from codetoneo4j_ray.pipelines.graph_ops import components_over
+
+    # two components (one reached only against edge direction) + an
+    # isolated self-loop node; duplicate/parallel edges included
+    pairs = [
+        ("b", "a"), ("b", "c"), ("c", "d"), ("d", "c"),
+        ("x", "y"), ("y", "x"), ("z", "z"),
+    ]
+    got = components_over(_pairs_ds(pairs)).to_pandas()
+    assert dict(zip(got["node"], got["comp"])) == {
+        "a": "a", "b": "a", "c": "a", "d": "a",
+        "x": "x", "y": "x", "z": "z",
+    }
+    assert list(got["node"]) == sorted(got["node"])
+
+
+def test_components_chain_within_iteration_budget():
+    from codetoneo4j_ray.pipelines.graph_ops import components_over
+
+    # a path of length CC_ITERS: min label must reach the far end
+    from codetoneo4j_ray.pipelines.graph_ops import CC_ITERS
+
+    chain = [(f"n{i}", f"n{i+1}") for i in range(CC_ITERS)]
+    got = components_over(_pairs_ds(chain)).to_pandas()
+    assert set(got["comp"]) == {"n0"}
+
+
+def test_components_iters_must_be_positive():
+    import pytest as _pytest
+
+    from codetoneo4j_ray.pipelines.graph_ops import components_over
+
+    with _pytest.raises(ValueError):
+        components_over(_pairs_ds([("a", "b")]), iters=0)
+
+
 def test_triangles_on_known_graph():
     from codetoneo4j_ray.pipelines.graph_ops import triangles_over
 
@@ -115,6 +152,16 @@ def test_kg_pagerank_matches_oracle():
     assert list(got["rank_fp"]) == list(exp["rank_fp"])
 
 
+def test_kg_components_matches_oracle():
+    from codetoneo4j_ray.pipelines.graph_ops import kg_components
+
+    got = kg_components(SF).to_pandas()
+    exp = _oracle("kg_components")
+    assert len(got) == len(exp) > 0
+    assert list(got["node"]) == list(exp["node"])
+    assert list(got["comp"]) == list(exp["comp"])
+
+
 def test_kg_triangles_matches_oracle():
     from codetoneo4j_ray.pipelines.graph_ops import kg_triangles
 
@@ -142,6 +189,58 @@ def test_inverted_index_matches_oracle():
     assert list(got["token"]) == list(exp["token"])
     assert list(got["df"]) == list(exp["df"])
     assert list(got["postings_csv"]) == list(exp["postings_csv"])
+
+
+def test_tfidf_topk_matches_oracle():
+    from codetoneo4j_ray.pipelines.data_ops import (
+        tfidf_topk,
+        tfidf_topk_oracle_sql,
+    )
+
+    got = tfidf_topk(SF).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    exp = con.execute(tfidf_topk_oracle_sql()).df()
+    assert len(got) == len(exp) > 0
+    for col in ("doc_id", "token", "tf", "df", "score"):
+        assert list(got[col]) == list(exp[col]), col
+
+
+def test_tfidf_topk_ranking_fixture(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from codetoneo4j_ray.pipelines.data_ops import tfidf_topk
+
+    # 4 docs; "common" appears everywhere (df=4), "rare" once (df=1);
+    # doc 0 repeats "rare" so tf matters; ties break by token
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "rare rare common zz aa",
+                    "common common",
+                    "common mid",
+                    "common mid",
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    got = tfidf_topk(str(tmp_path), k=2).to_pandas()
+    d0 = got[got["doc_id"] == 0]
+    # doc 0: rare tf=2 df=1 -> score 8; aa/zz tf=1 df=1 -> 4; common 1
+    assert list(d0["token"]) == sorted(["rare", "aa"])
+    assert int(d0[d0["token"] == "rare"]["score"].iloc[0]) == 8
+    d1 = got[got["doc_id"] == 1]
+    # doc 1 has only "common": tf=2 df=4 -> score 2; k caps at available
+    assert list(d1["token"]) == ["common"]
+    assert int(d1["score"].iloc[0]) == 2
 
 
 def test_inverted_index_caps_postings(tmp_path):
