@@ -311,13 +311,152 @@ def kg_components(sf_dir: str, iters: int = CC_ITERS) -> ray.data.Dataset:
     return components_over(edges, iters=iters)
 
 
+@ray.remote
+def _stamp_ids(block, offset: int):
+    """Stamp a sorted node block with its global dense rank range."""
+    if isinstance(block, pd.DataFrame):
+        t = pa.Table.from_pandas(block, preserve_index=False)
+    else:
+        t = block
+    if t.num_rows == 0 or "node" not in t.column_names:
+        # Ray drops the schema of empty blocks through sort
+        return pa.table(
+            {
+                "node": pa.array([], pa.string()),
+                "nid": pa.array([], pa.int64()),
+            }
+        )
+    return pa.table(
+        {
+            "node": t["node"],
+            "nid": pa.array(
+                np.arange(offset, offset + t.num_rows, dtype="int64")
+            ),
+        }
+    )
+
+
+def assign_order_ids(nodes: ray.data.Dataset) -> ray.data.Dataset:
+    """(node: string, distinct) → (node, nid: int64) with nid the dense
+    ORDER-PRESERVING rank of node in global key order — so integer MIN
+    over nids agrees with lexicographic MIN over keys. One Ray sort
+    range-partitions the keys; per-block offsets come from block
+    METADATA only (a driver-side prefix over block row counts, never
+    rows); ids are stamped by raw tasks over the sorted block refs
+    (the same block-ref pattern as build_bucket_store)."""
+    snodes = nodes.sort("node").materialize()
+    refs: list = []
+    counts: list[int] = []
+    for bundle in snodes.iter_internal_ref_bundles():
+        for ref, meta in zip(bundle.block_refs, bundle.metadata):
+            refs.append(ref)
+            counts.append(meta.num_rows)
+    if not refs:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array([], pa.string()),
+                    "nid": pa.array([], pa.int64()),
+                }
+            )
+        )
+    offsets = np.concatenate([[0], np.cumsum(counts[:-1])]).tolist()
+    return ray.data.from_arrow_refs(
+        [_stamp_ids.remote(r, int(off)) for r, off in zip(refs, offsets)]
+    )
+
+
+_SERIES_CACHE: dict[tuple, pd.Series] = {}
+
+
+class _LookupJoin:
+    """Map-side id lookups against a pinned store: batch values are
+    grouped by the bucket their key hashes to and mapped through that
+    bucket's key→val Series. The indexed Series is built once per
+    (store, bucket) per worker process — never per batch — so the
+    per-batch cost is pure hash + take."""
+
+    def __init__(self, store, num_buckets: int):
+        self._store = store
+        self._k = num_buckets
+
+    def _bucket_series(self, k: int, key: str, val: str) -> pd.Series:
+        ck = (self._store.token, k, key, val)
+        s = _SERIES_CACHE.get(ck)
+        if s is None:
+            df = process_cache(self._store).bucket_df(k)
+            s = df.set_index(key)[val] if not df.empty else pd.Series(dtype=object)
+            _SERIES_CACHE[ck] = s
+        return s
+
+    def _mapping(self, values: pd.Series, key: str, val: str) -> pd.Series:
+        ids = hash_bucket_series(values, self._k)
+        vnp = values.to_numpy()
+        out = np.empty(len(values), dtype=object)
+        for k in np.unique(ids):
+            mask = ids == k
+            s = self._bucket_series(int(k), key, val)
+            out[mask] = pd.Series(vnp[mask]).map(s).to_numpy()
+        return pd.Series(out, index=values.index)
+
+
+class _EncodeAdj(_LookupJoin):
+    """(src, dst) strings → int64 nids, tagged map-side with the
+    bucket of src's nid so the encoded adjacency pins straight into a
+    BucketStore with NO further exchange."""
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame(
+                {
+                    "src": pd.Series([], dtype="int64"),
+                    "dst": pd.Series([], dtype="int64"),
+                    "__bucket": pd.Series([], dtype="int32"),
+                }
+            )
+        out = pd.DataFrame(
+            {
+                "src": self._mapping(batch["src"], "node", "nid").astype("int64"),
+                "dst": self._mapping(batch["dst"], "node", "nid").astype("int64"),
+            }
+        )
+        out["__bucket"] = hash_bucket_series(out["src"], self._k)
+        return out
+
+
+class _DecodeLabels(_LookupJoin):
+    """(node: nid, lbl: nid) → (node, comp) strings via the reverse
+    (nid → node) store."""
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame(
+                {
+                    "node": pd.Series([], dtype=object),
+                    "comp": pd.Series([], dtype=object),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "node": self._mapping(batch["node"], "nid", "node").to_numpy(),
+                "comp": self._mapping(batch["lbl"], "nid", "node").to_numpy(),
+            }
+        )
+
+
 class _MinLabelStep:
-    """Fused per-iteration map for label propagation: each label row
-    (node, lbl) in bucket k emits itself as a candidate plus, via the
-    pinned symmetric-adjacency pieces of bucket k, per-neighbor
-    candidate minima (map-side combined). MIN is idempotent, so
-    duplicate candidates are harmless and no presence/side column is
-    needed."""
+    """Fused per-iteration map for frontier (delta) label propagation:
+    each label row (node, lbl, chg) in bucket k emits a self row
+    carrying its current label, and — ONLY if its label changed last
+    step — per-neighbor candidate minima via the pinned
+    symmetric-adjacency pieces of bucket k (map-side combined).
+    Skipping unchanged nodes is exact for a monotone MIN: an unchanged
+    label was already offered to every neighbor in an earlier step and
+    minima never regress — so per-level results equal the full
+    propagation's, while the candidate volume collapses as waves
+    subside. Labels are int64 nids (assign_order_ids), so every
+    exchange carries 8-byte values and MIN is numeric, not an object
+    comparison over long key strings."""
 
     def __init__(self, store, num_buckets: int):
         self._store = store
@@ -328,13 +467,15 @@ class _MinLabelStep:
         outs = [
             pd.DataFrame(
                 {
-                    "node": batch["node"],
-                    "cand": batch["lbl"],
+                    "node": batch["node"].astype("int64"),
+                    "cand": batch["lbl"].astype("int64"),
+                    "own": True,
                     "__bucket": batch["__bucket"].astype("int32"),
                 }
             )
         ]
-        for k, grp in batch.groupby("__bucket", sort=False):
+        frontier = batch[batch["chg"]]
+        for k, grp in frontier.groupby("__bucket", sort=False):
             adj = cache.bucket_df(int(k))
             if adj.empty:
                 continue
@@ -346,8 +487,9 @@ class _MinLabelStep:
                 .groupby("node", as_index=False)["cand"]
                 .min()
             )
+            part["own"] = False
             part["__bucket"] = hash_bucket_series(part["node"], self._k)
-            outs.append(part[["node", "cand", "__bucket"]])
+            outs.append(part[["node", "cand", "own", "__bucket"]])
         return pd.concat(outs, ignore_index=True)
 
 
@@ -364,11 +506,17 @@ def components_over(
     component whose diameter is ≤ iters (and is a deterministic,
     strict-oracle-checkable fixed point regardless).
 
-    Same topology as pagerank_over: the symmetric adjacency is built
+    Same topology as pagerank_over — the symmetric adjacency is built
     in one exchange and pinned as a BucketStore; each step is one
-    fused map + one node-sized exchange, the whole loop one lazy
-    chain. Output (node, comp), sorted by node. ``iters`` must be ≥ 1
-    (the first reduce also dedups the map-side label init)."""
+    fused map + one node-sized exchange, checkpointed every
+    _CHAIN_CHECKPOINT steps — with one extra move: node keys are
+    first mapped to dense ORDER-PRESERVING int64 ids
+    (assign_order_ids), the adjacency is encoded by map-side lookup
+    (and pins into its store with no further exchange), and the loop
+    propagates 8-byte ids instead of repeated long key strings; the
+    final labeling decodes back through the reverse store. Output
+    (node, comp), sorted by node. ``iters`` must be ≥ 1 (the first
+    reduce also dedups the map-side label init)."""
     if iters < 1:
         raise ValueError("components_over requires iters >= 1")
     if num_buckets is None:
@@ -386,37 +534,66 @@ def components_over(
 
     # bucketed by src: symmetric closure puts every endpoint on the src
     # side, so distinct src per bucket doubles as the global node list
-    adj = bucketed_apply(
+    adj_str = bucketed_apply(
         edges.map_batches(sym_pairs, batch_format="pyarrow"),
         ["src"],
         _dedup,
         num_buckets,
         keep_bucket=True,
     ).materialize()
-    store = build_bucket_store(adj, None, num_buckets)
+
+    def distinct_src(df: pd.DataFrame, _k: int) -> pd.DataFrame:
+        return pd.DataFrame({"node": df["src"].drop_duplicates()})
+
+    ids = assign_order_ids(prebucketed_apply(adj_str, distinct_src)).materialize()
+    id_store = build_bucket_store(ids, ["node"], num_buckets)
+
+    def tag_by_nid(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__bucket"] = hash_bucket_series(df["nid"], num_buckets)
+        return df
+
+    rev_store = build_bucket_store(
+        ids.map_batches(tag_by_nid, batch_format="pandas"), None, num_buckets
+    )
+    adj = build_bucket_store(
+        adj_str.drop_columns(["__bucket"]).map_batches(
+            _EncodeAdj(id_store, num_buckets),
+            batch_format="pandas",
+            batch_size=None,
+        ),
+        None,
+        num_buckets,
+    )
 
     def init_labels(df: pd.DataFrame) -> pd.DataFrame:
-        # plain map: a bucket's block may split across batches, so a
-        # node can appear twice — harmless, MIN dedups at the first
-        # reduce (which always runs: iters >= 1 below)
-        nodes = df[["src", "__bucket"]].drop_duplicates("src")
         return pd.DataFrame(
             {
-                "node": nodes["src"],
-                "lbl": nodes["src"],
-                "__bucket": nodes["__bucket"].astype("int32"),
+                "node": df["nid"].astype("int64"),
+                "lbl": df["nid"].astype("int64"),
+                "chg": True,
+                "__bucket": hash_bucket_series(df["nid"], num_buckets),
             }
         )
 
-    labels = adj.map_batches(init_labels, batch_format="pandas")
+    labels = ids.map_batches(init_labels, batch_format="pandas")
 
     def min_reduce(df: pd.DataFrame, _k: int) -> pd.DataFrame:
-        out = df.groupby("node", as_index=False)["cand"].min()
-        return out.rename(columns={"cand": "lbl"})
+        new = df.groupby("node", as_index=False)["cand"].min()
+        old = df.loc[df["own"], ["node", "cand"]].rename(columns={"cand": "old"})
+        out = new.merge(old.drop_duplicates("node"), on="node", how="left")
+        # a node absent from 'own' rows can't occur (self rows cover
+        # every node), but guard the comparison anyway
+        out["old"] = out["old"].fillna(out["cand"]).astype("int64")
+        out["chg"] = out["cand"] < out["old"]
+        out["lbl"] = out["cand"].astype("int64")
+        return out[["node", "lbl", "chg"]]
 
     for i in range(iters):
         stepped = labels.map_batches(
-            _MinLabelStep(store, num_buckets), batch_format="pandas"
+            _MinLabelStep(adj, num_buckets),
+            batch_format="pandas",
+            batch_size=None,
         )
         labels = prebucketed_apply(stepped, min_reduce, keep_bucket=True)
         if (i + 1) % _CHAIN_CHECKPOINT == 0 and i + 1 < iters:
@@ -425,10 +602,11 @@ def components_over(
             # (node-sized) labels every few steps
             labels = labels.materialize()
 
-    def rename(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"node": df["node"], "comp": df["lbl"]})
-
-    return labels.map_batches(rename, batch_format="pandas").sort("node")
+    return labels.map_batches(
+        _DecodeLabels(rev_store, num_buckets),
+        batch_format="pandas",
+        batch_size=None,
+    ).sort("node")
 
 
 def components_oracle_sql(edges_cte: str, iters: int = CC_ITERS) -> str:

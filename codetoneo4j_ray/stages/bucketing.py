@@ -147,9 +147,13 @@ def prebucketed_apply(
 
 
 def hash_bucket_series(s: pd.Series, num_buckets: int = DEFAULT_BUCKETS) -> np.ndarray:
-    """Map-side bucket ids for a pandas string column — the SAME hash as
-    add_bucket_column on a single string key column, so rows tagged here
-    co-locate with keep_bucket=True outputs of that key."""
+    """Map-side bucket ids for a pandas column — the SAME hash as
+    add_bucket_column on a single key column, so rows tagged here
+    co-locate with keep_bucket=True outputs of that key. Non-string
+    dtypes are stringified first, matching _key_strings' Arrow cast
+    (int64 → decimal string)."""
+    if s.dtype != object:
+        s = s.astype(str)
     obj = s.to_numpy(dtype=object, copy=False)
     h = pd.util.hash_array(np.asarray(obj, dtype=object), categorize=False)
     return (h % num_buckets).astype(np.int32)
