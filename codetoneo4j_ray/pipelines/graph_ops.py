@@ -367,6 +367,7 @@ def assign_order_ids(nodes: ray.data.Dataset) -> ray.data.Dataset:
 
 
 _SERIES_CACHE: dict[tuple, pd.Series] = {}
+_SERIES_CACHE_MAX = 512  # ~2 stores x 64 buckets x 2 directions, LRU-ish
 
 
 class _LookupJoin:
@@ -386,6 +387,8 @@ class _LookupJoin:
         if s is None:
             df = process_cache(self._store).bucket_df(k)
             s = df.set_index(key)[val] if not df.empty else pd.Series(dtype=object)
+            while len(_SERIES_CACHE) >= _SERIES_CACHE_MAX:
+                _SERIES_CACHE.pop(next(iter(_SERIES_CACHE)))
             _SERIES_CACHE[ck] = s
         return s
 

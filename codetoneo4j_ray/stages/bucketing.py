@@ -271,14 +271,21 @@ class BucketCache:
 
 
 _PROCESS_BUCKET_CACHES: dict[str, BucketCache] = {}
+_MAX_PROCESS_STORES = 4
 
 
 def process_cache(store: BucketStore, cap: int = 16) -> BucketCache:
     """Worker-process-level BucketCache, keyed by the store's identity.
     Ray reuses worker processes across the stages of a session, so an
     iterative pipeline's later stages hit buckets already fetched by
-    earlier ones — without paying actor-pool startup per stage."""
-    c = _PROCESS_BUCKET_CACHES.get(store.token)
+    earlier ones — without paying actor-pool startup per stage. Only
+    the most recent _MAX_PROCESS_STORES stores stay cached: a session
+    running many queries would otherwise accumulate every query's
+    pinned tables in every worker's heap."""
+    c = _PROCESS_BUCKET_CACHES.pop(store.token, None)
     if c is None:
-        c = _PROCESS_BUCKET_CACHES[store.token] = BucketCache(store, cap)
+        c = BucketCache(store, cap)
+        while len(_PROCESS_BUCKET_CACHES) >= _MAX_PROCESS_STORES:
+            _PROCESS_BUCKET_CACHES.pop(next(iter(_PROCESS_BUCKET_CACHES)))
+    _PROCESS_BUCKET_CACHES[store.token] = c  # re-insert = LRU refresh
     return c
