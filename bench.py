@@ -152,6 +152,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
 
     # graph analytics over the final edge table + retrieval index
     from codetoneo4j_ray.pipelines.graph_ops import (
+        kg_bfs_depth,
         kg_components,
         kg_pagerank,
         kg_triangles,
@@ -162,6 +163,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     timed("kg_pagerank", kg_pagerank)
     timed("kg_triangles", kg_triangles)
     timed("kg_components", kg_components)
+    timed("kg_bfs_depth", kg_bfs_depth)
 
     total = round(sum(timings.values()), 3)
     return {

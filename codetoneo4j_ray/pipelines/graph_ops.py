@@ -459,11 +459,23 @@ class _MinLabelStep:
     propagation's, while the candidate volume collapses as waves
     subside. Labels are int64 nids (assign_order_ids), so every
     exchange carries 8-byte values and MIN is numeric, not an object
-    comparison over long key strings."""
+    comparison over long key strings.
 
-    def __init__(self, store, num_buckets: int):
+    ``increment`` is added to each neighbor candidate (0 for component
+    labels, 1 for BFS depths); rows at or above ``cutoff`` (the
+    unreached sentinel) never emit candidates."""
+
+    def __init__(
+        self,
+        store,
+        num_buckets: int,
+        increment: int = 0,
+        cutoff: int | None = None,
+    ):
         self._store = store
         self._k = num_buckets
+        self._inc = increment
+        self._cutoff = cutoff
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         cache = process_cache(self._store)
@@ -478,6 +490,8 @@ class _MinLabelStep:
             )
         ]
         frontier = batch[batch["chg"]]
+        if self._cutoff is not None:
+            frontier = frontier[frontier["lbl"] < self._cutoff]
         for k, grp in frontier.groupby("__bucket", sort=False):
             adj = cache.bucket_df(int(k))
             if adj.empty:
@@ -486,7 +500,7 @@ class _MinLabelStep:
             if m.empty:
                 continue
             part = (
-                pd.DataFrame({"node": m["dst"], "cand": m["lbl"]})
+                pd.DataFrame({"node": m["dst"], "cand": m["lbl"] + self._inc})
                 .groupby("node", as_index=False)["cand"]
                 .min()
             )
@@ -644,6 +658,248 @@ def components_oracle_sql(edges_cte: str, iters: int = CC_ITERS) -> str:
         l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM cc_sym),
         {chain}
         SELECT node, lbl AS comp FROM {prev} ORDER BY node
+    """
+
+
+# ---------------------------------------------------------------------------
+# Multi-source BFS depth (distance from repo roots)
+# ---------------------------------------------------------------------------
+
+BFS_ITERS = 8
+BFS_ROOT_PRED = "src__HAS_FILE"  # repo → file edges (see materialize.py preds)
+_UNREACHED = 2**62  # depth sentinel; +iters stays far below int64 max
+
+
+def kg_bfs_depth(sf_dir: str, iters: int = BFS_ITERS) -> ray.data.Dataset:
+    """Directed BFS depth from the repo roots (subjects of
+    BFS_ROOT_PRED edges) over the final KG edge table (see
+    :func:`bfs_depth_over`), from the once-per-corpus cached distinct
+    edge parquet."""
+    from codetoneo4j_ray.pipelines.kg_queries import ensure_kg_edges
+
+    edges = ray.data.read_parquet(
+        ensure_kg_edges(sf_dir), columns=["subj", "pred", "obj"]
+    )
+    return bfs_depth_over(edges, iters=iters)
+
+
+def bfs_depth_over(
+    edges: ray.data.Dataset,
+    roots_pred: str = BFS_ROOT_PRED,
+    iters: int = BFS_ITERS,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Deterministic ``iters``-hop multi-source BFS over the DIRECTED
+    distinct (subj, obj) pairs: roots (distinct subjects of
+    ``roots_pred`` edges) start at depth 0, everything else at an
+    unreached sentinel; each synchronous step takes
+    min(depth, min over in-neighbors (their depth + 1)). Output
+    (node, depth) for nodes reached within ``iters`` hops, sorted by
+    node — the exact ``iters``-bounded BFS layering.
+
+    Same machinery as components_over (pinned int-encoded adjacency,
+    frontier steps, one node-sized exchange per hop); roots are marked
+    by store lookup, never a driver-side collection."""
+    if iters < 1:
+        raise ValueError("bfs_depth_over requires iters >= 1")
+    if num_buckets is None:
+        num_buckets = target_blocks()
+
+    def dir_pairs(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()[["subj", "obj"]].drop_duplicates()
+        return pa.Table.from_pandas(
+            df.rename(columns={"subj": "src", "obj": "dst"}),
+            preserve_index=False,
+        )
+
+    adj_str = bucketed_apply(
+        edges.map_batches(dir_pairs, batch_format="pyarrow"),
+        ["src"],
+        _dedup,
+        num_buckets,
+        keep_bucket=True,
+    ).materialize()
+
+    def endpoints(b: pa.Table) -> pa.Table:
+        vals = pd.unique(
+            np.concatenate(
+                [
+                    b["src"].to_numpy(zero_copy_only=False),
+                    b["dst"].to_numpy(zero_copy_only=False),
+                ]
+            )
+        )
+        return pa.table({"node": pa.array(vals, pa.string())})
+
+    nodes = bucketed_apply(
+        adj_str.drop_columns(["__bucket"]).map_batches(
+            endpoints, batch_format="pyarrow"
+        ),
+        ["node"],
+        _dedup,
+        num_buckets,
+    )
+    ids = assign_order_ids(nodes).materialize()
+    id_store = build_bucket_store(ids, ["node"], num_buckets)
+
+    def tag_by_nid(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__bucket"] = hash_bucket_series(df["nid"], num_buckets)
+        return df
+
+    rev_store = build_bucket_store(
+        ids.map_batches(tag_by_nid, batch_format="pandas"), None, num_buckets
+    )
+    adj = build_bucket_store(
+        adj_str.drop_columns(["__bucket"]).map_batches(
+            _EncodeAdj(id_store, num_buckets),
+            batch_format="pandas",
+            batch_size=None,
+        ),
+        None,
+        num_buckets,
+    )
+
+    def root_rows(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        r = df.loc[df["pred"] == roots_pred, ["subj"]].drop_duplicates()
+        return pa.table({"node": pa.array(r["subj"].to_numpy(), pa.string())})
+
+    roots = bucketed_apply(
+        edges.map_batches(root_rows, batch_format="pyarrow"),
+        ["node"],
+        _dedup,
+        num_buckets,
+        keep_bucket=True,
+    )
+
+    def mark(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["is_root"] = 1
+        return df
+
+    roots_store = build_bucket_store(
+        roots.map_batches(mark, batch_format="pandas"), None, num_buckets
+    )
+
+    class _InitDepth(_LookupJoin):
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            if not len(batch):
+                return pd.DataFrame(
+                    {
+                        "node": pd.Series([], dtype="int64"),
+                        "lbl": pd.Series([], dtype="int64"),
+                        "chg": pd.Series([], dtype=bool),
+                        "__bucket": pd.Series([], dtype="int32"),
+                    }
+                )
+            is_root = self._mapping(batch["node"], "node", "is_root").notna()
+            return pd.DataFrame(
+                {
+                    "node": batch["nid"].astype("int64"),
+                    "lbl": np.where(is_root, 0, _UNREACHED).astype("int64"),
+                    "chg": True,
+                    "__bucket": hash_bucket_series(batch["nid"], num_buckets),
+                }
+            )
+
+    labels = ids.map_batches(
+        _InitDepth(roots_store, num_buckets),
+        batch_format="pandas",
+        batch_size=None,
+    )
+
+    def min_reduce(df: pd.DataFrame, _k: int) -> pd.DataFrame:
+        new = df.groupby("node", as_index=False)["cand"].min()
+        old = df.loc[df["own"], ["node", "cand"]].rename(columns={"cand": "old"})
+        out = new.merge(old.drop_duplicates("node"), on="node", how="left")
+        out["old"] = out["old"].fillna(out["cand"]).astype("int64")
+        out["chg"] = out["cand"] < out["old"]
+        out["lbl"] = out["cand"].astype("int64")
+        return out[["node", "lbl", "chg"]]
+
+    for i in range(iters):
+        stepped = labels.map_batches(
+            _MinLabelStep(adj, num_buckets, increment=1, cutoff=_UNREACHED),
+            batch_format="pandas",
+            batch_size=None,
+        )
+        labels = prebucketed_apply(stepped, min_reduce, keep_bucket=True)
+        if (i + 1) % _CHAIN_CHECKPOINT == 0 and i + 1 < iters:
+            labels = labels.materialize()
+
+    class _DecodeDepth(_LookupJoin):
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            batch = batch[batch["lbl"] < _UNREACHED]
+            if not len(batch):
+                return pd.DataFrame(
+                    {
+                        "node": pd.Series([], dtype=object),
+                        "depth": pd.Series([], dtype="int64"),
+                    }
+                )
+            return pd.DataFrame(
+                {
+                    "node": self._mapping(
+                        batch["node"], "nid", "node"
+                    ).to_numpy(),
+                    "depth": batch["lbl"].astype("int64").to_numpy(),
+                }
+            )
+
+    return labels.map_batches(
+        _DecodeDepth(rev_store, num_buckets),
+        batch_format="pandas",
+        batch_size=None,
+    ).sort("node")
+
+
+def bfs_depth_oracle_sql(
+    edges_cte: str,
+    roots_pred: str = BFS_ROOT_PRED,
+    iters: int = BFS_ITERS,
+) -> str:
+    """Unrolled fixed-iteration min-depth CTE chain. A weight-0
+    self-loop per node makes each step a single join+min over the
+    previous level (same single-CTE-reference constraint as
+    components_oracle_sql — DuckDB inlines CTEs), while real edges
+    carry weight 1."""
+    steps = []
+    prev = "d0"
+    for i in range(1, iters + 1):
+        steps.append(
+            f"""d{i} AS (
+            SELECT e.dst AS node, min(l.d + e.w) AS d
+            FROM bfs_wadj e JOIN {prev} l ON l.node = e.src
+            GROUP BY e.dst
+        )"""
+        )
+        prev = f"d{i}"
+    chain = ",\n        ".join(steps)
+    return f"""
+        WITH {edges_cte},
+        bfs_adj AS (SELECT DISTINCT subj AS src, obj AS dst FROM all_edges),
+        bfs_nodes AS (
+            SELECT src AS node FROM bfs_adj UNION SELECT dst FROM bfs_adj
+        ),
+        bfs_roots AS (
+            SELECT DISTINCT subj AS node FROM all_edges
+            WHERE pred = '{roots_pred}'
+        ),
+        bfs_wadj AS (
+            SELECT src, dst, CAST(1 AS BIGINT) AS w FROM bfs_adj
+            UNION ALL
+            SELECT node, node, CAST(0 AS BIGINT) AS w FROM bfs_nodes
+        ),
+        d0 AS (
+            SELECT n.node,
+                   CAST(CASE WHEN r.node IS NULL THEN {_UNREACHED}
+                        ELSE 0 END AS BIGINT) AS d
+            FROM bfs_nodes n LEFT JOIN bfs_roots r ON r.node = n.node
+        ),
+        {chain}
+        SELECT node, d AS depth FROM {prev}
+        WHERE d < {_UNREACHED} ORDER BY node
     """
 
 

@@ -479,6 +479,7 @@ def oracle_kg(sf_dir: str) -> dict[str, str]:
         "kg_pagerank": _graph_ops().pagerank_oracle_sql(edges_cte),
         "kg_triangles": _graph_ops().triangles_oracle_sql(edges_cte),
         "kg_components": _graph_ops().components_oracle_sql(edges_cte),
+        "kg_bfs_depth": _graph_ops().bfs_depth_oracle_sql(edges_cte),
     }
 
 

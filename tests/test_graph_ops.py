@@ -108,6 +108,57 @@ def test_components_iters_must_be_positive():
         components_over(_pairs_ds([("a", "b")]), iters=0)
 
 
+def _edges_ds(rows):
+    import ray.data
+
+    return ray.data.from_items(
+        [{"subj": a, "pred": p, "obj": b} for a, p, b in rows]
+    )
+
+
+def test_bfs_depth_on_known_graph():
+    from codetoneo4j_ray.pipelines.graph_ops import bfs_depth_over
+
+    # root r (HAS_FILE subject): r->f->s1->s2 chain, a shortcut r->s2,
+    # an edge INTO the root (must not create depth), and an island x->y
+    rows = [
+        ("r", "HAS_FILE", "f"),
+        ("f", "DECLARES", "s1"),
+        ("s1", "INVOKES", "s2"),
+        ("r", "DEPENDS_ON", "s2"),
+        ("s1", "INVOKES", "r"),
+        ("x", "INVOKES", "y"),
+    ]
+    got = bfs_depth_over(_edges_ds(rows), roots_pred="HAS_FILE").to_pandas()
+    assert dict(zip(got["node"], got["depth"])) == {
+        "r": 0, "f": 1, "s1": 2, "s2": 1,
+    }
+
+
+def test_bfs_depth_iteration_bound():
+    from codetoneo4j_ray.pipelines.graph_ops import BFS_ITERS, bfs_depth_over
+
+    # a chain longer than the budget: nodes past BFS_ITERS hops from
+    # the root stay unreached and are excluded
+    rows = [("n0", "HAS_FILE", "n1")] + [
+        (f"n{i}", "INVOKES", f"n{i+1}") for i in range(1, BFS_ITERS + 3)
+    ]
+    got = bfs_depth_over(_edges_ds(rows), roots_pred="HAS_FILE").to_pandas()
+    depths = dict(zip(got["node"], got["depth"]))
+    assert depths[f"n{BFS_ITERS}"] == BFS_ITERS
+    assert f"n{BFS_ITERS + 1}" not in depths
+
+
+def test_kg_bfs_depth_matches_oracle():
+    from codetoneo4j_ray.pipelines.graph_ops import kg_bfs_depth
+
+    got = kg_bfs_depth(SF).to_pandas()
+    exp = _oracle("kg_bfs_depth")
+    assert len(got) == len(exp) > 0
+    assert list(got["node"]) == list(exp["node"])
+    assert list(got["depth"]) == list(exp["depth"])
+
+
 def test_triangles_on_known_graph():
     from codetoneo4j_ray.pipelines.graph_ops import triangles_over
 
