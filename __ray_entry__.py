@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": data_ops.revenue_by_nation,
         "top_orders": data_ops.top_orders,
         "pricing_summary": data_ops.pricing_summary,
+        "price_quantiles": data_ops.price_quantiles,
         # multimodal plumbing (stubbed decode)
         "media_decode_meta": multimodal.media_decode_meta,
         "media_frame_sample": multimodal.media_frame_sample,
@@ -483,6 +484,7 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY l_returnflag, l_linestatus
                 ORDER BY l_returnflag, l_linestatus
             """,
+            "price_quantiles": data_ops.price_quantiles_oracle_sql(),
             "media_frame_sample": """
                 WITH meta AS (
                     SELECT doc_id AS media_id,

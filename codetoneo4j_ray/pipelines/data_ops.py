@@ -2614,6 +2614,92 @@ def revenue_by_nation(sf_dir: str) -> ray.data.Dataset:
     return bucketed_apply(partial, ["n_name"], merge).sort("n_name")
 
 
+_QUANTILES = ((25, (1, 4)), (50, (1, 2)), (75, (3, 4)), (95, (19, 20)))
+
+
+def price_quantiles(sf_dir: str) -> ray.data.Dataset:
+    """Exact per-(returnflag, linestatus) price percentiles
+    (p25/p50/p75/p95, percentile_disc semantics: the value at 1-indexed
+    sorted rank ceil(q·n)) over integer cents.
+
+    Scale plan: a low-cardinality group key makes "co-locate the group
+    and sort it" a non-starter at 100 TB (one group ≈ the whole
+    table), so the quantiles come from a VALUE HISTOGRAM instead:
+    per-batch partial counts per (group, price) → one well-distributed
+    exchange keyed by (group, price) → one tiny exchange collapsing
+    each group's histogram (bounded by the price domain, never row
+    count) into cumulative ranks. Ranks use integer ceil division —
+    float ceil(0.95·n) rounds wrong for exact multiples (0.95 is not
+    representable), which a strict value-hash oracle would catch."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["p"] = np.floor(df["l_extendedprice"] * 100).astype("int64")
+        g = df.groupby(
+            ["l_returnflag", "l_linestatus", "p"], as_index=False
+        ).agg(cnt=("p", "size"))
+        g["cnt"] = g["cnt"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    hist = bucketed_apply(
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_returnflag", "l_linestatus", "l_extendedprice"],
+        ).map_batches(partial, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus", "p"],
+        lambda df: df.groupby(
+            ["l_returnflag", "l_linestatus", "p"], as_index=False
+        ).agg(cnt=("cnt", "sum")),
+    )
+
+    def quantiles(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for (rf, ls), g in df.groupby(["l_returnflag", "l_linestatus"]):
+            g = g.sort_values("p")
+            cum = g["cnt"].cumsum().to_numpy()
+            n = int(cum[-1])
+            p = g["p"].to_numpy()
+            row = {"l_returnflag": rf, "l_linestatus": ls, "n_rows": n}
+            for name, (num, den) in _QUANTILES:
+                rank = (num * n + den - 1) // den  # integer ceil(num*n/den)
+                row[f"p{name}"] = int(p[np.searchsorted(cum, rank)])
+            rows.append(row)
+        return pd.DataFrame(rows)
+
+    return bucketed_apply(
+        hist, ["l_returnflag", "l_linestatus"], quantiles
+    ).sort(["l_returnflag", "l_linestatus"])
+
+
+def price_quantiles_oracle_sql() -> str:
+    picks = ",\n               ".join(
+        f"max(CASE WHEN rn = ({num}*n + {den} - 1) // {den} THEN p END) AS p{name}"
+        for name, (num, den) in _QUANTILES
+    )
+    return f"""
+        WITH pr AS (
+            SELECT l_returnflag, l_linestatus,
+                   CAST(floor(l_extendedprice * 100) AS BIGINT) AS p
+            FROM lineitem
+        ),
+        r AS (
+            SELECT l_returnflag, l_linestatus, p,
+                   row_number() OVER (
+                       PARTITION BY l_returnflag, l_linestatus ORDER BY p
+                   ) AS rn,
+                   count(*) OVER (
+                       PARTITION BY l_returnflag, l_linestatus
+                   ) AS n
+            FROM pr
+        )
+        SELECT l_returnflag, l_linestatus, CAST(n AS BIGINT) AS n_rows,
+               {picks}
+        FROM r
+        GROUP BY l_returnflag, l_linestatus, n
+        ORDER BY l_returnflag, l_linestatus
+    """
+
+
 def pricing_summary(sf_dir: str) -> ray.data.Dataset:
     """TPC-H Q1-shaped integer-exact pricing summary by return flag/status."""
 

@@ -294,6 +294,49 @@ def test_tfidf_topk_ranking_fixture(tmp_path):
     assert int(d1["score"].iloc[0]) == 2
 
 
+def test_price_quantiles_matches_oracle():
+    from codetoneo4j_ray.pipelines.data_ops import (
+        price_quantiles,
+        price_quantiles_oracle_sql,
+    )
+
+    got = price_quantiles(SF).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS "
+        f"SELECT * FROM read_parquet('{SF}/lineitem.parquet')"
+    )
+    exp = con.execute(price_quantiles_oracle_sql()).df()
+    assert len(got) == len(exp) > 0
+    for col in got.columns:
+        assert list(got[col]) == list(exp[col]), col
+
+
+def test_price_quantiles_rank_edges(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from codetoneo4j_ray.pipelines.data_ops import price_quantiles
+
+    # n=20 exercises the 0.95 boundary: ceil(19*20/20) = rank 19 —
+    # float ceil(0.95*20) would round to 20 (0.95 is not representable)
+    prices = [float(i) for i in range(1, 21)]  # cents = 100..2000
+    t = pa.table(
+        {
+            "l_returnflag": pa.array(["A"] * 20, pa.string()),
+            "l_linestatus": pa.array(["F"] * 20, pa.string()),
+            "l_extendedprice": pa.array(prices, pa.float64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "lineitem.parquet"))
+    got = price_quantiles(str(tmp_path)).to_pandas().iloc[0]
+    assert got["n_rows"] == 20
+    assert got["p25"] == 500  # rank ceil(20/4)=5 -> 5.00
+    assert got["p50"] == 1000
+    assert got["p75"] == 1500
+    assert got["p95"] == 1900  # rank 19, NOT 20
+
+
 def test_inverted_index_caps_postings(tmp_path):
     import pyarrow as pa
     import pyarrow.parquet as pq
