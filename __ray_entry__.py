@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders": data_ops.top_orders,
         "pricing_summary": data_ops.pricing_summary,
         "price_quantiles": data_ops.price_quantiles,
+        "orders_running_total": data_ops.orders_running_total,
         # multimodal plumbing (stubbed decode)
         "media_decode_meta": multimodal.media_decode_meta,
         "media_frame_sample": multimodal.media_frame_sample,
@@ -485,6 +486,7 @@ def oracle_sql() -> dict[str, str]:
                 ORDER BY l_returnflag, l_linestatus
             """,
             "price_quantiles": data_ops.price_quantiles_oracle_sql(),
+            "orders_running_total": data_ops.ORDERS_RUNNING_TOTAL_SQL,
             "media_frame_sample": """
                 WITH meta AS (
                     SELECT doc_id AS media_id,

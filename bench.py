@@ -161,6 +161,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     timed("inverted_index", data_ops.inverted_index)
     timed("tfidf_topk", data_ops.tfidf_topk)
     timed("price_quantiles", data_ops.price_quantiles)
+    timed("orders_running_total", data_ops.orders_running_total)
     timed("kg_pagerank", kg_pagerank)
     timed("kg_triangles", kg_triangles)
     timed("kg_components", kg_components)

@@ -2614,6 +2614,57 @@ def revenue_by_nation(sf_dir: str) -> ray.data.Dataset:
     return bucketed_apply(partial, ["n_name"], merge).sort("n_name")
 
 
+def orders_running_total(sf_dir: str) -> ray.data.Dataset:
+    """Per-customer ordered running total of order value in cents —
+    the keyed-window-scan primitive (SUM ... OVER (PARTITION BY
+    custkey ORDER BY orderdate, orderkey)). custkey is high-cardinality
+    so the one hash exchange distributes evenly; each bucket then sorts
+    ONLY its own customers' orders and cumsums vectorized — no global
+    sort, no driver state. Output (o_custkey, o_orderkey, run_cents)
+    ordered by (o_custkey, o_orderkey)."""
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["cents"] = np.floor(df["o_totalprice"] * 100).astype("int64")
+        df["ts"] = df["o_orderdate"].astype("int64")
+        return pa.Table.from_pandas(
+            df[["o_custkey", "o_orderkey", "ts", "cents"]],
+            preserve_index=False,
+        )
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_custkey", "ts", "o_orderkey"], kind="stable")
+        run = df.groupby("o_custkey", sort=False)["cents"].cumsum()
+        return pd.DataFrame(
+            {
+                "o_custkey": df["o_custkey"].astype("int64"),
+                "o_orderkey": df["o_orderkey"].astype("int64"),
+                "run_cents": run.astype("int64"),
+            }
+        )
+
+    return bucketed_apply(
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"],
+        ).map_batches(to_cents, batch_format="pyarrow"),
+        ["o_custkey"],
+        scan,
+    ).sort(["o_custkey", "o_orderkey"])
+
+
+ORDERS_RUNNING_TOTAL_SQL = """
+    SELECT o_custkey, o_orderkey,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS UNBOUNDED PRECEDING
+           ) AS BIGINT) AS run_cents
+    FROM orders
+    ORDER BY o_custkey, o_orderkey
+"""
+
+
 _QUANTILES = ((25, (1, 4)), (50, (1, 2)), (75, (3, 4)), (95, (19, 20)))
 
 

@@ -337,6 +337,24 @@ def test_price_quantiles_rank_edges(tmp_path):
     assert got["p95"] == 1900  # rank 19, NOT 20
 
 
+def test_orders_running_total_matches_oracle():
+    from codetoneo4j_ray.pipelines.data_ops import (
+        ORDERS_RUNNING_TOTAL_SQL,
+        orders_running_total,
+    )
+
+    got = orders_running_total(SF).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS "
+        f"SELECT * FROM read_parquet('{SF}/orders.parquet')"
+    )
+    exp = con.execute(ORDERS_RUNNING_TOTAL_SQL).df()
+    assert len(got) == len(exp) > 0
+    for col in ("o_custkey", "o_orderkey", "run_cents"):
+        assert list(got[col]) == list(exp[col]), col
+
+
 def test_inverted_index_caps_postings(tmp_path):
     import pyarrow as pa
     import pyarrow.parquet as pq
