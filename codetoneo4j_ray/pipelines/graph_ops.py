@@ -510,6 +510,20 @@ class _MinLabelStep:
         return pd.concat(outs, ignore_index=True)
 
 
+
+def _none_changed(labels: ray.data.Dataset) -> bool:
+    """True when no label changed last step — every remaining
+    propagation step is then the identity, so exiting early returns
+    EXACTLY the fixed-iteration result the unrolled oracle computes."""
+    import pandas as _pd
+
+    tot = labels.map_batches(
+        lambda df: _pd.DataFrame({"n": [int(df["chg"].sum())]}),
+        batch_format="pandas",
+    ).sum("n")
+    return not tot
+
+
 def components_over(
     edges: ray.data.Dataset,
     iters: int = CC_ITERS,
@@ -616,8 +630,12 @@ def components_over(
         if (i + 1) % _CHAIN_CHECKPOINT == 0 and i + 1 < iters:
             # bound the lazy plan: Ray's planning/execution overhead
             # grows superlinearly with chained sort stages, so pin the
-            # (node-sized) labels every few steps
+            # (node-sized) labels every few steps — and stop outright
+            # once the frontier is empty (identical output, see
+            # _none_changed)
             labels = labels.materialize()
+            if _none_changed(labels):
+                break
 
     return labels.map_batches(
         _DecodeLabels(rev_store, num_buckets),
@@ -827,6 +845,8 @@ def bfs_depth_over(
         labels = prebucketed_apply(stepped, min_reduce, keep_bucket=True)
         if (i + 1) % _CHAIN_CHECKPOINT == 0 and i + 1 < iters:
             labels = labels.materialize()
+            if _none_changed(labels):  # identical output, see helper
+                break
 
     class _DecodeDepth(_LookupJoin):
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
