@@ -163,8 +163,9 @@ def hash_bucket_frame(
     df: pd.DataFrame, cols: list[str], num_buckets: int = DEFAULT_BUCKETS
 ) -> np.ndarray:
     """Map-side bucket ids over multiple STRING key columns — matches
-    add_bucket_column's \\x00-joined key exactly (string, non-null
-    columns only)."""
+    add_bucket_column's \\x1f-joined key exactly (string, non-null
+    columns only; see the separator note in add_bucket_column — NUL
+    would be truncated by pandas' vectorized string concat)."""
     if len(cols) == 1:
         return hash_bucket_series(df[cols[0]], num_buckets)
     joined = df[cols[0]]

@@ -88,15 +88,26 @@ def test_components_on_known_graph():
     assert list(got["node"]) == sorted(got["node"])
 
 
-def test_components_chain_within_iteration_budget():
+def test_components_50_node_path_is_one_component():
     from codetoneo4j_ray.pipelines.graph_ops import components_over
 
-    # a path of length CC_ITERS: min label must reach the far end
-    from codetoneo4j_ray.pipelines.graph_ops import CC_ITERS
-
-    chain = [(f"n{i}", f"n{i+1}") for i in range(CC_ITERS)]
+    # a 50-node path: diameter 49, far beyond any fixed iteration
+    # budget — propagation + pointer-jumping must still converge to a
+    # single component labeled by the lexicographic minimum
+    chain = [(f"n{i:02d}", f"n{i+1:02d}") for i in range(49)]
     got = components_over(_pairs_ds(chain)).to_pandas()
-    assert set(got["comp"]) == {"n0"}
+    assert len(got) == 50
+    assert set(got["comp"]) == {"n00"}
+
+
+def test_components_raises_instead_of_returning_partial_labels():
+    import pytest as _pytest
+
+    from codetoneo4j_ray.pipelines.graph_ops import components_over
+
+    chain = [(f"n{i:02d}", f"n{i+1:02d}") for i in range(30)]
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        components_over(_pairs_ds(chain), max_iters=3)
 
 
 def test_components_iters_must_be_positive():
@@ -105,7 +116,7 @@ def test_components_iters_must_be_positive():
     from codetoneo4j_ray.pipelines.graph_ops import components_over
 
     with _pytest.raises(ValueError):
-        components_over(_pairs_ds([("a", "b")]), iters=0)
+        components_over(_pairs_ds([("a", "b")]), max_iters=0)
 
 
 def _edges_ds(rows):
@@ -135,18 +146,30 @@ def test_bfs_depth_on_known_graph():
     }
 
 
-def test_bfs_depth_iteration_bound():
-    from codetoneo4j_ray.pipelines.graph_ops import BFS_ITERS, bfs_depth_over
+def test_bfs_depth_20_hop_chain_fully_reached():
+    from codetoneo4j_ray.pipelines.graph_ops import bfs_depth_over
 
-    # a chain longer than the budget: nodes past BFS_ITERS hops from
-    # the root stay unreached and are excluded
-    rows = [("n0", "HAS_FILE", "n1")] + [
-        (f"n{i}", "INVOKES", f"n{i+1}") for i in range(1, BFS_ITERS + 3)
+    # a 20-hop chain: BFS runs until the wave empties, so every node
+    # gets its true depth (no fixed iteration budget truncates it)
+    rows = [("n00", "HAS_FILE", "n01")] + [
+        (f"n{i:02d}", "INVOKES", f"n{i+1:02d}") for i in range(1, 20)
     ]
     got = bfs_depth_over(_edges_ds(rows), roots_pred="HAS_FILE").to_pandas()
     depths = dict(zip(got["node"], got["depth"]))
-    assert depths[f"n{BFS_ITERS}"] == BFS_ITERS
-    assert f"n{BFS_ITERS + 1}" not in depths
+    assert len(depths) == 21
+    assert all(depths[f"n{i:02d}"] == i for i in range(21))
+
+
+def test_bfs_depth_raises_instead_of_truncating():
+    import pytest as _pytest
+
+    from codetoneo4j_ray.pipelines.graph_ops import bfs_depth_over
+
+    rows = [("n00", "HAS_FILE", "n01")] + [
+        (f"n{i:02d}", "INVOKES", f"n{i+1:02d}") for i in range(1, 20)
+    ]
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        bfs_depth_over(_edges_ds(rows), roots_pred="HAS_FILE", max_iters=3)
 
 
 def test_kg_bfs_depth_matches_oracle():

@@ -156,7 +156,14 @@ def test_entry_contract(ray_session):
     qs = em.queries()
     sql = em.oracle_sql()
     assert set(sql) <= set(qs)
-    assert len(qs) >= 15
+    # full inventory pin: every registered query must carry a strict
+    # DuckDB oracle except the three documented rows-only ops — catches
+    # silent gate/queries drift (round 3 lost the media entries to a
+    # driver-side omission; this keeps the repo side honest)
+    rows_only = {"kg_mentions_raw", "ann_ivf", "embedding_kmeans"}
+    assert set(qs) - set(sql) == rows_only
+    assert len(qs) == 52
+    assert {"media_decode_meta", "media_frame_sample"} <= set(sql)
 
 
 def test_lww_null_tiebreak_matches_oracle(ray_session):
