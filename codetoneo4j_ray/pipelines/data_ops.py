@@ -139,6 +139,9 @@ def hash_bytes(s: str) -> int:
 _rng = np.random.RandomState(7)
 _A_U64 = _rng.randint(1, 1 << 62, size=_MINHASH_PERMS).astype(np.uint64) | np.uint64(1)
 _MIX = np.uint64(0x9E3779B97F4A7C15)  # splitmix64 odd constant
+# per-permutation salt (p+1) for the band bucket fold, so identical
+# minhash values at different positions contribute distinct terms
+_POS_SALT = np.arange(1, _MINHASH_PERMS + 1, dtype=np.uint64)
 
 
 def _minhash_sig(sh: set[int]) -> np.ndarray:
@@ -159,10 +162,14 @@ def doc_dedup_minhash(sf_dir: str, jaccard_threshold: float = 0.8) -> ray.data.D
     exact shingle Jaccard. Returns (doc_a, doc_b).
 
     The shingle hash (md5-derived), permutation mixing (mod-2^64
-    xor-multiply) and band buckets (decimal string concat) are all chosen
-    to be bit-exactly replicable in ANSI-ish SQL, so the whole sketch —
-    not just the verified pairs — is covered by a STRICT DuckDB oracle
-    (see ``minhash_oracle_sql``).
+    xor-multiply) and band buckets (a position-salted multiply-sum fold
+    to ONE u64 per band — order-insensitive, so SQL SUM replicates it
+    bit-exactly, and an 8-byte exchange payload instead of a ~80-char
+    decimal string) are all chosen to be bit-exactly replicable in
+    ANSI-ish SQL, so the whole sketch — not just the verified pairs —
+    is covered by a STRICT DuckDB oracle (see ``minhash_oracle_sql``).
+    A fold collision (~2^-64) could only ADD an LSH candidate, which the
+    exact-Jaccard verify then filters identically on both sides.
 
     Identical-document floods — the normal case in crawl dedup — are
     collapsed INSIDE the band exchange: each band row carries md5(text),
@@ -185,20 +192,25 @@ def doc_dedup_minhash(sf_dir: str, jaccard_threshold: float = 0.8) -> ray.data.D
         ids = batch["doc_id"].to_pylist()
         texts = batch["text"].to_pylist()
         out_band, out_bucket, out_id, out_h = [], [], [], []
+        bands = list(range(_LSH_BANDS))
         for doc_id, text in zip(ids, texts):
             sig = _minhash_sig(_minhash_shingles(text))
             h = hashlib.md5(text.encode("utf-8")).hexdigest()
-            for b in range(_LSH_BANDS):
-                chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
-                bucket = ",".join(str(int(v)) for v in chunk)
-                out_band.append(b)
-                out_bucket.append(bucket)
-                out_id.append(doc_id)
-                out_h.append(h)
+            # per-band u64 fold: salt each minhash with its perm index,
+            # remix, SUM mod 2^64 (order-insensitive → SQL-replicable)
+            with np.errstate(over="ignore"):
+                mixed = (sig ^ _POS_SALT) * _MIX
+            buckets = mixed.reshape(_LSH_BANDS, rows_per_band).sum(
+                axis=1, dtype=np.uint64
+            )
+            out_band.extend(bands)
+            out_bucket.extend(buckets.tolist())
+            out_id.extend([doc_id] * _LSH_BANDS)
+            out_h.extend([h] * _LSH_BANDS)
         return pa.table(
             {
                 "band": pa.array(out_band, pa.int32()),
-                "bucket": pa.array(out_bucket, pa.string()),
+                "bucket": pa.array(out_bucket, pa.uint64()),
                 "doc_id": pa.array(out_id, pa.int64()),
                 "h": pa.array(out_h, pa.string()),
             }
@@ -463,7 +475,9 @@ def minhash_oracle_sql(jaccard_threshold: float = 0.8) -> str:
         sig AS (SELECT doc_id, p, min(v) AS v FROM mixed GROUP BY doc_id, p),
         bands AS (
             SELECT doc_id, p // 4 AS band,
-                   string_agg(CAST(v AS VARCHAR), ',' ORDER BY p) AS bucket
+                   (sum(((xor(v, (p + 1)::UBIGINT)::UHUGEINT * {mix})
+                         % {m64}::UHUGEINT)::UBIGINT)::UHUGEINT
+                    % {m64}::UHUGEINT)::UBIGINT AS bucket
             FROM sig GROUP BY doc_id, p // 4
         ),
         cand AS (
