@@ -2050,27 +2050,29 @@ def doc_pack(sf_dir: str, capacity: int = _PACK_CAPACITY) -> ray.data.Dataset:
 
     An ordered prefix sum is inherently sequential, so it's computed as
     the classic two-pass distributed scan: docs range-bucket by a
-    monotone map of the order key (r = doc_id // width, width sized so
-    r-buckets ≈ cluster parallelism); pass 1 reduces each (lang, r) to
-    ONE partial sum and the driver prefix-sums that summary — a
-    structure bounded by langs × bucket count (the parallelism knob),
-    never by rows; pass 2 broadcasts the per-bucket base offsets and
-    computes exact in-bucket cumsums vectorized, one bucketed exchange.
-    Dense doc_ids make the fixed-width ranger balanced here; skewed /
-    sparse order keys would swap in a sampled-quantile ranger — the
-    passes are unchanged."""
+    monotone map of the order key (r from sampled-quantile boundaries,
+    sized so r-buckets ≈ cluster parallelism — balanced even when
+    doc_ids are sparse or clustered, where a fixed-width ``id // width``
+    ranger would collapse to a few hot buckets); pass 1 reduces each
+    (lang, r) to ONE partial sum and the driver prefix-sums that
+    summary — a structure bounded by langs × bucket count (the
+    parallelism knob), never by rows; pass 2 broadcasts the per-bucket
+    base offsets and computes exact in-bucket cumsums vectorized, one
+    bucketed exchange. The ranger only affects balance: r is monotone
+    in doc_id under ANY boundary set, so the scan stays exact."""
     docs = _docs(sf_dir, ["doc_id", "lang", "n_chars"])
-    from codetoneo4j_ray.stages.bucketing import target_blocks
+    from codetoneo4j_ray.stages.bucketing import (
+        sampled_range_bounds,
+        target_blocks,
+    )
 
-    max_id = docs.max("doc_id")
-    if max_id is None:
-        return docs
-    nb = target_blocks()
-    width = max(1, (int(max_id) + nb) // nb)
+    bounds = sampled_range_bounds(docs, "doc_id", target_blocks())
 
     def add_r(batch: pa.Table) -> pa.Table:
-        r = pc.cast(pc.divide(batch["doc_id"], width), pa.int64())
-        return batch.append_column("r", r)
+        r = np.searchsorted(
+            bounds, batch["doc_id"].to_numpy(zero_copy_only=False), side="right"
+        )
+        return batch.append_column("r", pa.array(r.astype("int64"), pa.int64()))
 
     with_r = docs.map_batches(add_r, batch_format="pyarrow").materialize()
 

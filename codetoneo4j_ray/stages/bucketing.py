@@ -146,6 +146,54 @@ def prebucketed_apply(
     return ds.groupby("__bucket").map_groups(apply, batch_format="pandas")
 
 
+def sampled_range_bounds(
+    ds: ray.data.Dataset,
+    col: str,
+    num_ranges: int,
+    sample_cap: int = 65536,
+) -> np.ndarray:
+    """Quantile boundaries for a MONOTONE range-bucketing of an int64
+    order key — the skew-safe replacement for a fixed-width ranger
+    (``key // width``), which collapses to a handful of buckets when
+    keys are sparse or clustered. Callers assign
+    ``r = np.searchsorted(bounds, key, side="right")``; r is monotone
+    in the key, so ordered two-pass prefix scans stay exact regardless
+    of which ranger produced it — only balance changes.
+
+    One column-pruned pass samples keys by a deterministic hash
+    threshold sized from row-count metadata, so the driver holds at
+    most ~sample_cap values no matter the dataset size, and repeated
+    runs see the same sample. Returns a sorted, deduped int64 array
+    (possibly shorter than num_ranges-1; empty for empty/tiny inputs —
+    everything then lands in range 0, which is correct, just
+    unbalanced at toy scale)."""
+    n = ds.count()
+    if not n:
+        return np.array([], dtype="int64")
+    rate = min(1.0, sample_cap / n)
+    thresh = np.uint64(int(rate * 2**64)) if rate < 1.0 else None
+
+    def samp(b: pa.Table) -> pa.Table:
+        v = b[col].to_numpy(zero_copy_only=False).astype("int64")
+        if thresh is not None:
+            h = pd.util.hash_array(v, categorize=False)
+            v = v[h < thresh]
+        return pa.table({col: pa.array(v, pa.int64())})
+
+    sample = (
+        ds.select_columns([col])
+        .map_batches(samp, batch_format="pyarrow")
+        .to_pandas()[col]
+        .to_numpy()
+    )
+    if sample.size == 0:
+        return np.array([], dtype="int64")
+    qs = np.quantile(
+        sample, np.arange(1, num_ranges) / num_ranges, method="lower"
+    ).astype("int64")
+    return np.unique(qs)
+
+
 def hash_bucket_series(s: pd.Series, num_buckets: int = DEFAULT_BUCKETS) -> np.ndarray:
     """Map-side bucket ids for a pandas column — the SAME hash as
     add_bucket_column on a single key column, so rows tagged here

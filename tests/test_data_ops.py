@@ -922,6 +922,66 @@ def test_doc_pack_prefix_sum_crosses_range_buckets(tmp_path):
     assert df.groupby("lang")["pack_id"].nunique().min() > 10
 
 
+def test_doc_pack_sparse_clustered_ids_stay_exact(tmp_path):
+    """A fixed-width ``id // width`` ranger collapses this corpus into
+    one hot bucket (ids live in two narrow clusters 12 orders of
+    magnitude apart); the sampled-quantile ranger must keep the scan
+    exact regardless of the boundary set it picks."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from codetoneo4j_ray.pipelines.data_ops import doc_pack
+
+    ids = list(range(200)) + [10**12 + i for i in range(200)]
+    langs = ["en" if i % 2 == 0 else "fr" for i in range(400)]
+    sizes = [100 + (i * 37) % 250 for i in range(400)]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "lang": pa.array(langs, pa.string()),
+                "n_chars": pa.array(sizes, pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    df = doc_pack(str(tmp_path), capacity=512).to_pandas()
+    ref = pd.DataFrame({"doc_id": ids, "lang": langs, "n_chars": sizes})
+    ref = ref.sort_values(["lang", "doc_id"])
+    ref["cum_before"] = (
+        ref.groupby("lang")["n_chars"].cumsum() - ref["n_chars"]
+    )
+    ref["pack_id"] = ref["cum_before"] // 512
+    assert list(df["doc_id"]) == list(ref["doc_id"])
+    assert list(df["cum_before"]) == list(ref["cum_before"])
+    assert list(df["pack_id"]) == list(ref["pack_id"])
+
+
+def test_sampled_range_bounds_balance_skewed_keys(ray_session):
+    """The quantile ranger must spread clustered/sparse keys roughly
+    evenly across ranges where a fixed-width ranger would put ~all rows
+    in one bucket."""
+    import numpy as np
+    import ray.data as rd
+
+    from codetoneo4j_ray.stages.bucketing import sampled_range_bounds
+
+    # 10k keys: half clustered at 0..4999, half at 1e12..1e12+4999
+    keys = np.concatenate(
+        [np.arange(5000, dtype=np.int64), 10**12 + np.arange(5000, dtype=np.int64)]
+    )
+    ds = rd.from_arrow(__import__("pyarrow").table({"k": keys}))
+    bounds = sampled_range_bounds(ds, "k", 8)
+    assert 1 <= len(bounds) <= 7
+    r = np.searchsorted(bounds, keys, side="right")
+    counts = np.bincount(r, minlength=len(bounds) + 1)
+    # every range non-trivial: no range holds more than half the rows
+    assert counts.max() <= len(keys) // 2 + 2500
+    # monotone in the key by construction
+    assert (np.diff(r[np.argsort(keys, kind="stable")]) >= 0).all()
+
+
 def _write_docs(tmp_path, texts, ids=None):
     import pyarrow as pa
     import pyarrow.parquet as pq
