@@ -23,10 +23,18 @@ as a token scanner (no Dart SDK here):
   - INVOKES originate from the *class* (or the file at top level), not
     the enclosing method (ast_visitor.dart:430-485)
 
-Covered: class/mixin/enum/extension/typedef, top-level and member
-functions/getters/setters/operators, constructors (incl. named), fields,
-imports, method/ctor invocations (ctor detection is heuristic:
-capitalized callee — the visitor has resolved types instead).
+Covered: class/mixin/enum/extension/extension-type/typedef, top-level
+and member functions/getters/setters/operators, constructors (incl.
+named), fields (member and top-level, with DEPENDS_ON to explicitly
+declared types), imports, method/ctor invocations (ctor detection is
+heuristic: capitalized callee — the visitor has resolved types
+instead).
+
+NOT ported from ast_visitor_test.dart: the ``getLine`` resolver
+indirection (our lexer carries real line numbers on every token, so
+there is no offset→line resolver to delegate to) and the
+``containingClass`` field assertions (containment is represented as
+CONTAINS relationships + the class-qualified fqn, not a symbol column).
 """
 
 from __future__ import annotations
@@ -38,6 +46,8 @@ from codetoneo4j_ray.functions.text import dirname
 from codetoneo4j_ray.schema import CONTAINS, DEPENDS_ON, INVOKES
 
 _DECL_KEYWORDS = frozenset("class mixin enum extension typedef".split())
+# keyword-ish names that ARE legal declared types (subset of _NOT_CALLS)
+_BUILTIN_TYPES = frozenset("int double bool String num".split())
 _NOT_CALLS = frozenset(
     "if while for switch catch return throw assert new const final var late "
     "void int double bool String num await async sync yield else do is as in "
@@ -223,6 +233,10 @@ class _DartScanner:
             head, j = v, i
             if v == "abstract" and self.v(i + 1) == "class":
                 head, j = "class", i + 1
+            if (head == "extension" and self.v(j + 1) == "type"
+                    and self.k(j + 2) == "id"):
+                i = self._handle_extension_type(j, anns, doc)
+                continue
             if head in _DECL_KEYWORDS and self.k(j + 1) == "id":
                 i = self._handle_type(i, j, head, anns, doc)
                 continue
@@ -232,11 +246,83 @@ class _DartScanner:
                 if consumed is not None:
                     i = consumed
                     continue
+                consumed = self._maybe_toplevel_var(i, anns, doc)
+                if consumed is not None:
+                    i = consumed
+                    continue
                 # top-level call (rare): attributed to the file
                 if self.v(i + 1) == "(" and v not in _NOT_CALLS:
                     to_kind = "constructor" if v[:1].isupper() else "method"
                     self._rel("file", self.rel_path, t.line, to_kind, v, INVOKES)
             i += 1
+
+    def _handle_extension_type(self, j, anns, doc):
+        """``extension type Name(Repr field) [implements ...] {}`` —
+        DartExtensionType / 'extensiontype' (ast_visitor.dart extension
+        type branch; Dart 3 inline classes)."""
+        t = self.toks[j]
+        name = self.v(j + 2)
+        jj = j + 3
+        if self.v(jj) == "<":
+            jj = self._bal(jj, "<", ">") + 1
+        if self.v(jj) == "(":
+            jj = self._bal(jj, "(", ")") + 1
+        heritage = []
+        if self.v(jj) == "implements":
+            jj += 1
+            while self.k(jj) == "id":
+                heritage.append(self.v(jj))
+                jj += 1
+                if self.v(jj) == "<":
+                    jj = self._bal(jj, "<", ">") + 1
+                if self.v(jj) == ",":
+                    jj += 1
+                else:
+                    break
+        close, end_line = self._block_end(jj)
+        self._emit(name, "ExtensionType", "extensiontype",
+                   self._fqn(name, None), t.line, end_line,
+                   self._accessibility(name, anns), doc)
+        for tname in heritage:
+            self._rel("extensiontype", name, t.line, "class", tname, DEPENDS_ON)
+        return close + 1
+
+    def _maybe_toplevel_var(self, i, anns, doc):
+        """Top-level variable: ``[const|final|late|var]* [Type]? name
+        (= …)? ;`` → DartField (ast_visitor.dart top-level variable
+        branch). Function declarations never match (they need '(' after
+        the name, which _maybe_function already consumed)."""
+        t = self.toks[i]
+        j = i
+        while self.v(j) in ("const", "final", "late", "var", "external"):
+            j += 1
+        typed_from = None
+        if (self.k(j) == "id"
+                and (self.v(j) in _BUILTIN_TYPES
+                     or self.v(j) not in _NOT_CALLS)
+                and (self.k(j + 1) == "id" or self.v(j + 1) == "<")):
+            typed_from = j
+            if self.v(j + 1) == "<":
+                j = self._bal(j + 1, "<", ">") + 1
+            else:
+                j += 1
+            if self.v(j) == "?":
+                j += 1
+        if j == i and typed_from is None:
+            return None  # no modifier and no type → not a declaration
+        name = self.v(j)
+        if self.k(j) != "id" or name in _NOT_CALLS:
+            return None
+        if self.v(j + 1) not in ("=", ";", ","):
+            return None
+        self._emit(name, "Field", "field", self._fqn(name, None),
+                   t.line, t.line, self._accessibility(name, anns), doc)
+        if typed_from is not None:
+            self._rel("field", name, t.line, "class",
+                      self.v(typed_from), DEPENDS_ON)
+        while j < len(self.toks) and self.v(j) != ";":
+            j += 1
+        return j + 1
 
     def _handle_type(self, i, j, keyword, anns, doc):
         t = self.toks[i]
@@ -343,7 +429,7 @@ class _DartScanner:
             doc = self.trivia.get(t.line)
             mods_end = i
             while self.v(mods_end) in ("static", "final", "const", "late", "covariant",
-                                       "external", "factory"):
+                                       "external", "factory", "var"):
                 mods_end += 1
             j = mods_end
 
@@ -442,6 +528,11 @@ class _DartScanner:
                            t.line, t.line, self._accessibility(name, anns), doc,
                            containing=class_name)
                 self._rel(class_kind, class_name, t.line, "field", name, CONTAINS)
+                if jj > mods_end and self.k(mods_end) == "id":
+                    # explicitly typed field → DEPENDS_ON its type
+                    # (ast_visitor.dart field-type dependency)
+                    self._rel("field", name, t.line, "class",
+                              self.v(mods_end), DEPENDS_ON)
                 while i < end and self.v(i) != ";":
                     i += 1
                 continue
