@@ -793,12 +793,15 @@ def decontaminate(
     docs = _docs(sf_dir, ["doc_id", "text"])
 
     def bench_grams(batch: pa.Table) -> pa.Table:
+        # Arrow-side slice to the 1/bench_mod benchmark rows BEFORE any
+        # Python conversion — the pass reads every text column byte
+        # regardless, but only materializes the bench slice as objects
+        did = batch["doc_id"]
+        rem = pc.subtract(did, pc.multiply(pc.divide(did, bench_mod), bench_mod))
+        batch = batch.filter(pc.equal(rem, 0))
         out: set[str] = set()
-        for did, text in zip(
-            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
-        ):
-            if did % bench_mod == 0:
-                out.update(_gram_strs(text, k))
+        for text in batch["text"].to_pylist():
+            out.update(_gram_strs(text, k))
         return pa.table({"gram": pa.array(sorted(out), pa.string())})
 
     bench: set[str] = set()

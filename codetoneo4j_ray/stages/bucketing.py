@@ -271,6 +271,14 @@ class BucketStore:
         self.token = f"{first.hex() if first is not None else ''}:{num_buckets}"
 
 
+@ray.remote
+def _concat_pieces(*tables):
+    ts = [t for t in tables if t is not None]
+    if not ts:
+        return None
+    return pa.concat_tables(ts)
+
+
 def build_bucket_store(
     ds: ray.data.Dataset,
     key_cols: list[str] | None,
@@ -278,7 +286,16 @@ def build_bucket_store(
 ) -> BucketStore:
     """Pin ``ds`` into a BucketStore keyed by ``key_cols``. Pass
     key_cols=None when rows already carry __bucket (keep_bucket=True
-    upstream) to skip the re-hash pass."""
+    upstream) to skip the re-hash pass.
+
+    Each bucket is consolidated to ONE object (a second, per-bucket
+    concat task layer) whenever the input has multiple blocks: a store
+    handle then carries num_buckets refs instead of
+    num_blocks × num_buckets. The handle rides inside every map task
+    of every consumer stage, and each ObjectRef costs
+    serialization + ownership registration per task — for an iterative
+    consumer (PageRank, label propagation) the unconsolidated 64×64
+    ref matrix dominated per-iteration wall time."""
     if key_cols is not None:
         ds = add_bucket_column(ds, key_cols, num_buckets)
     mat = ds.materialize()
@@ -290,6 +307,8 @@ def build_bucket_store(
     split = _split_block.options(num_returns=num_buckets)
     per_block = [split.remote(r, num_buckets) for r in block_refs]
     pieces = [[pb[k] for pb in per_block] for k in range(num_buckets)]
+    if len(per_block) > 1:
+        pieces = [[_concat_pieces.remote(*p)] for p in pieces]
     return BucketStore(pieces, num_buckets)
 
 
