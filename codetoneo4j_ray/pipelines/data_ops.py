@@ -575,12 +575,21 @@ def dup_clusters(
 
     state = bucketed_apply(edges, ["key"], step).materialize()
     prev_sum = own_sum(state)
+    converged = False
     for _ in range(max_iters):
         state = bucketed_apply(edges.union(state), ["key"], step).materialize()
         cur_sum = own_sum(state)
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # never return partial labels as if they were components — the
+        # oracle is a true transitive closure (see dup_clusters_oracle_sql)
+        raise RuntimeError(
+            f"dup_clusters did not converge within {max_iters} label "
+            "rounds; raise max_iters"
+        )
 
     def finish(batch: pa.Table) -> pa.Table:
         t = batch.filter(pc.equal(batch["is_own"], 1))

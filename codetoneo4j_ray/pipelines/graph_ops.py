@@ -293,12 +293,66 @@ def _tag_by_nid(num_buckets: int):
     return tag
 
 
+_KG_ID_CACHE: dict[tuple, tuple] = {}
+
+
+def _kg_id_tables(sf_dir: str, num_buckets: int):
+    """Once-per-session dense id assignment over the KG edge table's
+    endpoint set, shared by all four kg_* graph ops: the node set (and
+    its order-preserving nids) is identical for pagerank / components /
+    BFS and a superset for triangles (which drops self-loop-only
+    nodes — a superset mapping preserves order on any subset), so the
+    endpoint exchange, the global sort, and both id stores are built
+    once per corpus per session instead of once per op. Returns
+    (ids, id_store, rev_store); the Ray objects stay alive while the
+    cache holds them (driver-owned refs)."""
+    from codetoneo4j_ray.pipelines.kg_queries import ensure_kg_edges
+
+    path = ensure_kg_edges(sf_dir)
+    key = (path, num_buckets)
+    hit = _KG_ID_CACHE.get(key)
+    if hit is not None:
+        return hit
+    edges = ray.data.read_parquet(path, columns=["subj", "obj"])
+
+    def endpoints(b: pa.Table) -> pa.Table:
+        vals = pd.unique(
+            np.concatenate(
+                [
+                    b["subj"].to_numpy(zero_copy_only=False),
+                    b["obj"].to_numpy(zero_copy_only=False),
+                ]
+            )
+        )
+        return pa.table({"node": pa.array(vals, pa.string())})
+
+    nodes = bucketed_apply(
+        edges.map_batches(endpoints, batch_format="pyarrow"),
+        ["node"],
+        _dedup,
+        num_buckets,
+    )
+    ids = assign_order_ids(nodes).materialize()
+    id_store = build_bucket_store(ids, ["node"], num_buckets)
+    rev_store = build_bucket_store(
+        ids.map_batches(_tag_by_nid(num_buckets), batch_format="pandas"),
+        None,
+        num_buckets,
+    )
+    out = (ids, id_store, rev_store)
+    while len(_KG_ID_CACHE) >= 4:
+        _KG_ID_CACHE.pop(next(iter(_KG_ID_CACHE)))
+    _KG_ID_CACHE[key] = out
+    return out
+
+
 def _encode_pairs(
     pairs: ray.data.Dataset,
     num_buckets: int,
     reduce_fn=None,
     src: str = "src",
     dst: str = "dst",
+    id_tables: tuple | None = None,
 ):
     """Shared front half of every graph op: map-side-distinct string
     (src, dst) pairs → dense int64 ids and an int-encoded, exchanged
@@ -315,33 +369,38 @@ def _encode_pairs(
 
     ``reduce_fn(df, bucket)`` defaults to plain dedup; pagerank passes
     a variant that also attaches exact out-degrees (exact because all
-    rows of a src co-locate)."""
+    rows of a src co-locate). ``id_tables`` supplies a prebuilt
+    (ids, id_store, rev_store) covering (at least) the pairs'
+    endpoints — the kg_* wrappers share one via _kg_id_tables."""
     pairs = pairs.materialize()
 
-    def endpoints(b: pa.Table) -> pa.Table:
-        vals = pd.unique(
-            np.concatenate(
-                [
-                    b[src].to_numpy(zero_copy_only=False),
-                    b[dst].to_numpy(zero_copy_only=False),
-                ]
+    if id_tables is not None:
+        ids, id_store, rev_store = id_tables
+    else:
+        def endpoints(b: pa.Table) -> pa.Table:
+            vals = pd.unique(
+                np.concatenate(
+                    [
+                        b[src].to_numpy(zero_copy_only=False),
+                        b[dst].to_numpy(zero_copy_only=False),
+                    ]
+                )
             )
-        )
-        return pa.table({"node": pa.array(vals, pa.string())})
+            return pa.table({"node": pa.array(vals, pa.string())})
 
-    nodes = bucketed_apply(
-        pairs.map_batches(endpoints, batch_format="pyarrow"),
-        ["node"],
-        _dedup,
-        num_buckets,
-    )
-    ids = assign_order_ids(nodes).materialize()
-    id_store = build_bucket_store(ids, ["node"], num_buckets)
-    rev_store = build_bucket_store(
-        ids.map_batches(_tag_by_nid(num_buckets), batch_format="pandas"),
-        None,
-        num_buckets,
-    )
+        nodes = bucketed_apply(
+            pairs.map_batches(endpoints, batch_format="pyarrow"),
+            ["node"],
+            _dedup,
+            num_buckets,
+        )
+        ids = assign_order_ids(nodes).materialize()
+        id_store = build_bucket_store(ids, ["node"], num_buckets)
+        rev_store = build_bucket_store(
+            ids.map_batches(_tag_by_nid(num_buckets), batch_format="pandas"),
+            None,
+            num_buckets,
+        )
     if reduce_fn is None:
         reduce_fn = lambda df, _k: df.drop_duplicates()  # noqa: E731
     enc = pairs.map_batches(
@@ -369,10 +428,12 @@ def kg_pagerank(
     happens inside pagerank_over."""
     from codetoneo4j_ray.pipelines.kg_queries import ensure_kg_edges
 
+    nb = target_blocks()
     edges = ray.data.read_parquet(
         ensure_kg_edges(sf_dir), columns=["subj", "obj"]
     )
-    return pagerank_over(edges, iters=iters, scale=scale)
+    return pagerank_over(edges, iters=iters, scale=scale, num_buckets=nb,
+                         id_tables=_kg_id_tables(sf_dir, nb))
 
 
 class _PageRankStep:
@@ -428,6 +489,7 @@ def pagerank_over(
     iters: int = PAGERANK_ITERS,
     scale: int = PAGERANK_SCALE,
     num_buckets: int | None = None,
+    id_tables: tuple | None = None,
 ) -> ray.data.Dataset:
     """Fixed-point PageRank (damping 0.85, ``iters`` synchronous steps)
     over distinct (subj, obj) pairs of an edge dataset.
@@ -466,6 +528,7 @@ def pagerank_over(
         edges.map_batches(to_pairs, batch_format="pyarrow"),
         num_buckets,
         reduce_fn=dedup_deg,
+        id_tables=id_tables,
     )
     # up-front overflow validation: contribution sums are bounded by
     # the total mass n*scale (see _MAX_SAFE_SUM note) — checking here
@@ -594,10 +657,12 @@ def kg_components(sf_dir: str, max_iters: int = CC_MAX_ITERS) -> ray.data.Datase
     cached distinct edge parquet."""
     from codetoneo4j_ray.pipelines.kg_queries import ensure_kg_edges
 
+    nb = target_blocks()
     edges = ray.data.read_parquet(
         ensure_kg_edges(sf_dir), columns=["subj", "obj"]
     )
-    return components_over(edges, max_iters=max_iters)
+    return components_over(edges, max_iters=max_iters, num_buckets=nb,
+                           id_tables=_kg_id_tables(sf_dir, nb))
 
 
 class _MinLabelStep:
@@ -754,6 +819,7 @@ def components_over(
     edges: ray.data.Dataset,
     max_iters: int = CC_MAX_ITERS,
     num_buckets: int | None = None,
+    id_tables: tuple | None = None,
 ) -> ray.data.Dataset:
     """TRUE connected components over the symmetric closure of the
     distinct (subj, obj) pairs: every node starts labeled with its own
@@ -794,7 +860,8 @@ def components_over(
         return pa.Table.from_pandas(out, preserve_index=False)
 
     ids, _id_store, rev_store, adj_enc = _encode_pairs(
-        edges.map_batches(sym_pairs, batch_format="pyarrow"), num_buckets
+        edges.map_batches(sym_pairs, batch_format="pyarrow"), num_buckets,
+        id_tables=id_tables,
     )
     adj = build_bucket_store(adj_enc, None, num_buckets)
 
@@ -876,10 +943,12 @@ def kg_bfs_depth(sf_dir: str, max_iters: int = BFS_MAX_ITERS) -> ray.data.Datase
     edge parquet."""
     from codetoneo4j_ray.pipelines.kg_queries import ensure_kg_edges
 
+    nb = target_blocks()
     edges = ray.data.read_parquet(
         ensure_kg_edges(sf_dir), columns=["subj", "pred", "obj"]
     )
-    return bfs_depth_over(edges, max_iters=max_iters)
+    return bfs_depth_over(edges, max_iters=max_iters, num_buckets=nb,
+                          id_tables=_kg_id_tables(sf_dir, nb))
 
 
 def bfs_depth_over(
@@ -887,6 +956,7 @@ def bfs_depth_over(
     roots_pred: str = BFS_ROOT_PRED,
     max_iters: int = BFS_MAX_ITERS,
     num_buckets: int | None = None,
+    id_tables: tuple | None = None,
 ) -> ray.data.Dataset:
     """Multi-source BFS over the DIRECTED distinct (subj, obj) pairs,
     run UNTIL THE WAVE EMPTIES: roots (distinct subjects of
@@ -921,7 +991,8 @@ def bfs_depth_over(
         )
 
     ids, _id_store, rev_store, adj_enc = _encode_pairs(
-        edges.map_batches(dir_pairs, batch_format="pyarrow"), num_buckets
+        edges.map_batches(dir_pairs, batch_format="pyarrow"), num_buckets,
+        id_tables=id_tables,
     )
     adj = build_bucket_store(adj_enc, None, num_buckets)
 
@@ -1061,10 +1132,12 @@ def kg_triangles(sf_dir: str, k: int = TRIANGLE_TOPK_K) -> ray.data.Dataset:
     collapse still folds preds/directions."""
     from codetoneo4j_ray.pipelines.kg_queries import ensure_kg_edges
 
+    nb = target_blocks()
     edges = ray.data.read_parquet(
         ensure_kg_edges(sf_dir), columns=["subj", "obj"]
     )
-    return triangles_over(edges, k=k)
+    return triangles_over(edges, k=k, num_buckets=nb,
+                          id_tables=_kg_id_tables(sf_dir, nb))
 
 
 class _DegOrient:
@@ -1153,6 +1226,7 @@ def triangles_over(
     edges: ray.data.Dataset,
     k: int = TRIANGLE_TOPK_K,
     num_buckets: int | None = None,
+    id_tables: tuple | None = None,
 ) -> ray.data.Dataset:
     """Top-k nodes by triangle participation over the undirected,
     self-loop-free distinct pair graph of an edge dataset.
@@ -1190,6 +1264,7 @@ def triangles_over(
         num_buckets,
         src="a",
         dst="b",
+        id_tables=id_tables,
     )
 
     def as_ab(df: pd.DataFrame) -> pd.DataFrame:
