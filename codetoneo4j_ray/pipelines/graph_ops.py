@@ -453,6 +453,15 @@ class _PageRankStep:
         self._k = num_buckets
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):  # schemaless empty blocks survive exchanges
+            return pd.DataFrame(
+                {
+                    "node": pd.Series([], dtype="int64"),
+                    "c": pd.Series([], dtype="int64"),
+                    "side": pd.Series([], dtype=object),
+                    "__bucket": pd.Series([], dtype="int32"),
+                }
+            )
         cache = process_cache(self._store)
         outs = [
             pd.DataFrame(
@@ -696,6 +705,15 @@ class _MinLabelStep:
         self._cutoff = cutoff
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):  # schemaless empty blocks survive exchanges
+            return pd.DataFrame(
+                {
+                    "node": pd.Series([], dtype="int64"),
+                    "cand": pd.Series([], dtype="int64"),
+                    "own": pd.Series([], dtype=bool),
+                    "__bucket": pd.Series([], dtype="int32"),
+                }
+            )
         cache = process_cache(self._store)
         outs = [
             pd.DataFrame(
@@ -771,6 +789,17 @@ def _pointer_jump(labels: ray.data.Dataset, num_buckets: int) -> ray.data.Datase
     so no second exchange is needed."""
 
     def emit(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):  # schemaless empty blocks survive exchanges
+            return pd.DataFrame(
+                {
+                    "key": pd.Series([], dtype="int64"),
+                    "node": pd.Series([], dtype="int64"),
+                    "val": pd.Series([], dtype="int64"),
+                    "chg": pd.Series([], dtype=bool),
+                    "seek": pd.Series([], dtype=bool),
+                    "__bucket": pd.Series([], dtype="int32"),
+                }
+            )
         prov = pd.DataFrame(
             {
                 "key": df["node"].astype("int64"),
