@@ -75,9 +75,20 @@ def read_records(records_dir: str, rec_type: str | None = None) -> ray.data.Data
     ``rec_type=...`` reads only that partition's files — the row-group
     pruning that lets the files/symbols stages skip the mention bulk.
     A partition dir that was never written (e.g. a corpus producing zero
-    mentions) reads as a typed empty dataset, not a crash."""
+    mentions) reads as a typed empty dataset, not a crash.
+
+    Block count is bounded to target_blocks() like the corpus read:
+    Ray's default read parallelism splits the mention partition into
+    ~13 blocks per file (208 at bench scale), and every downstream map
+    runs one task per block while the output sort's shuffle-object
+    count grows with fan-in — bounding at the source is cheaper than
+    coalescing after."""
+    from codetoneo4j_ray.stages.bucketing import target_blocks
+
     if rec_type is None:
-        return ray.data.read_parquet(records_dir)
+        return ray.data.read_parquet(
+            records_dir, override_num_blocks=target_blocks()
+        )
     part_dir = f"{records_dir}/rec_type={rec_type}"
     if not os.path.isdir(part_dir):
         from codetoneo4j_ray.stages.extract import RECORD_SCHEMA
@@ -85,7 +96,9 @@ def read_records(records_dir: str, rec_type: str | None = None) -> ray.data.Data
         # partition-dir reads drop the hive column; match that shape
         empty = pa.schema([f for f in RECORD_SCHEMA if f.name != "rec_type"])
         return ray.data.from_arrow(empty.empty_table())
-    return ray.data.read_parquet(part_dir)
+    return ray.data.read_parquet(
+        part_dir, override_num_blocks=target_blocks()
+    )
 
 
 def _structural_input(records_dir, symbols, files):
