@@ -313,7 +313,9 @@ def _kg_id_tables(sf_dir: str, num_buckets: int):
     hit = _KG_ID_CACHE.get(key)
     if hit is not None:
         return hit
-    edges = ray.data.read_parquet(path, columns=["subj", "obj"])
+    edges = ray.data.read_parquet(
+        path, columns=["subj", "obj"], override_num_blocks=num_buckets
+    )
 
     def endpoints(b: pa.Table) -> pa.Table:
         vals = pd.unique(
@@ -430,7 +432,8 @@ def kg_pagerank(
 
     nb = target_blocks()
     edges = ray.data.read_parquet(
-        ensure_kg_edges(sf_dir), columns=["subj", "obj"]
+        ensure_kg_edges(sf_dir), columns=["subj", "obj"],
+        override_num_blocks=nb,
     )
     return pagerank_over(edges, iters=iters, scale=scale, num_buckets=nb,
                          id_tables=_kg_id_tables(sf_dir, nb))
@@ -668,7 +671,8 @@ def kg_components(sf_dir: str, max_iters: int = CC_MAX_ITERS) -> ray.data.Datase
 
     nb = target_blocks()
     edges = ray.data.read_parquet(
-        ensure_kg_edges(sf_dir), columns=["subj", "obj"]
+        ensure_kg_edges(sf_dir), columns=["subj", "obj"],
+        override_num_blocks=nb,
     )
     return components_over(edges, max_iters=max_iters, num_buckets=nb,
                            id_tables=_kg_id_tables(sf_dir, nb))
@@ -974,7 +978,8 @@ def kg_bfs_depth(sf_dir: str, max_iters: int = BFS_MAX_ITERS) -> ray.data.Datase
 
     nb = target_blocks()
     edges = ray.data.read_parquet(
-        ensure_kg_edges(sf_dir), columns=["subj", "pred", "obj"]
+        ensure_kg_edges(sf_dir), columns=["subj", "pred", "obj"],
+        override_num_blocks=nb,
     )
     return bfs_depth_over(edges, max_iters=max_iters, num_buckets=nb,
                           id_tables=_kg_id_tables(sf_dir, nb))
@@ -1163,7 +1168,8 @@ def kg_triangles(sf_dir: str, k: int = TRIANGLE_TOPK_K) -> ray.data.Dataset:
 
     nb = target_blocks()
     edges = ray.data.read_parquet(
-        ensure_kg_edges(sf_dir), columns=["subj", "obj"]
+        ensure_kg_edges(sf_dir), columns=["subj", "obj"],
+        override_num_blocks=nb,
     )
     return triangles_over(edges, k=k, num_buckets=nb,
                           id_tables=_kg_id_tables(sf_dir, nb))

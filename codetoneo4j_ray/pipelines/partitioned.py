@@ -106,8 +106,15 @@ def extract_partitioned(
 
 
 def records_dataset(out_dir: str) -> ray.data.Dataset:
-    """All completed partitions as one record stream."""
-    return ray.data.read_parquet(f"{out_dir}/records")
+    """All completed partitions as one record stream. Block count is
+    bounded like build_graph.read_records — Ray's default read
+    parallelism otherwise splits the checkpoint into hundreds of tiny
+    blocks, one downstream task each (see that docstring)."""
+    from codetoneo4j_ray.stages.bucketing import target_blocks
+
+    return ray.data.read_parquet(
+        f"{out_dir}/records", override_num_blocks=target_blocks()
+    )
 
 
 def purge_partition(out_dir: str, partition: int) -> None:
