@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triangles": graph_ops.kg_triangles,
         "kg_components": graph_ops.kg_components,
         "kg_bfs_depth": graph_ops.kg_bfs_depth,
+        "kg_sssp": graph_ops.kg_sssp,
         "kg_mentions_raw": q_kg_mentions_raw,
         # commit subgraph (UpsertCommit/UpsertFile cypher analogs)
         "kg_commits": q_kg_commits,

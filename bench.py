@@ -155,6 +155,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         kg_bfs_depth,
         kg_components,
         kg_pagerank,
+        kg_sssp,
         kg_triangles,
     )
 
@@ -166,6 +167,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     timed("kg_triangles", kg_triangles)
     timed("kg_components", kg_components)
     timed("kg_bfs_depth", kg_bfs_depth)
+    timed("kg_sssp", kg_sssp)
 
     total = round(sum(timings.values()), 3)
     return {

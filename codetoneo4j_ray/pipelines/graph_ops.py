@@ -234,22 +234,32 @@ class _EncodeAdj(_LookupJoin):
     """(src, dst) strings → int64 nids, tagged map-side with the
     bucket of src's nid so the encoded adjacency exchanges (for its
     dedup/degree reduce) on 8-byte keys and pins straight into a
-    BucketStore."""
+    BucketStore. ``extra`` names int64 columns (e.g. edge weights)
+    copied through unchanged."""
 
-    def __init__(self, store, num_buckets: int, src: str = "src", dst: str = "dst"):
+    def __init__(
+        self,
+        store,
+        num_buckets: int,
+        src: str = "src",
+        dst: str = "dst",
+        extra: tuple[str, ...] = (),
+    ):
         super().__init__(store, num_buckets)
         self._src = src
         self._dst = dst
+        self._extra = extra
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         if not len(batch):
-            return pd.DataFrame(
-                {
-                    "src": pd.Series([], dtype="int64"),
-                    "dst": pd.Series([], dtype="int64"),
-                    "__bucket": pd.Series([], dtype="int32"),
-                }
-            )
+            cols = {
+                "src": pd.Series([], dtype="int64"),
+                "dst": pd.Series([], dtype="int64"),
+            }
+            for c in self._extra:
+                cols[c] = pd.Series([], dtype="int64")
+            cols["__bucket"] = pd.Series([], dtype="int32")
+            return pd.DataFrame(cols)
         out = pd.DataFrame(
             {
                 "src": self._mapping(batch[self._src], "node", "nid").astype(
@@ -260,6 +270,8 @@ class _EncodeAdj(_LookupJoin):
                 ),
             }
         )
+        for c in self._extra:
+            out[c] = batch[c].astype("int64").to_numpy()
         out["__bucket"] = _ibucket(out["src"], self._k)
         return out
 
@@ -355,6 +367,7 @@ def _encode_pairs(
     src: str = "src",
     dst: str = "dst",
     id_tables: tuple | None = None,
+    extra: tuple[str, ...] = (),
 ):
     """Shared front half of every graph op: map-side-distinct string
     (src, dst) pairs → dense int64 ids and an int-encoded, exchanged
@@ -406,7 +419,7 @@ def _encode_pairs(
     if reduce_fn is None:
         reduce_fn = lambda df, _k: df.drop_duplicates()  # noqa: E731
     enc = pairs.map_batches(
-        _EncodeAdj(id_store, num_buckets, src=src, dst=dst),
+        _EncodeAdj(id_store, num_buckets, src=src, dst=dst, extra=extra),
         batch_format="pandas",
         batch_size=None,
     )
@@ -693,8 +706,11 @@ class _MinLabelStep:
     comparison over long key strings.
 
     ``increment`` is added to each neighbor candidate (0 for component
-    labels, 1 for BFS depths); rows at or above ``cutoff`` (the
-    unreached sentinel) never emit candidates."""
+    labels, 1 for BFS depths); ``weight_col`` names a per-edge int64
+    column in the pinned adjacency used INSTEAD of the scalar increment
+    (weighted shortest distance); rows at or above ``cutoff`` (the
+    unreached sentinel, or the distance budget) never emit
+    candidates."""
 
     def __init__(
         self,
@@ -702,11 +718,13 @@ class _MinLabelStep:
         num_buckets: int,
         increment: int = 0,
         cutoff: int | None = None,
+        weight_col: str | None = None,
     ):
         self._store = store
         self._k = num_buckets
         self._inc = increment
         self._cutoff = cutoff
+        self._wcol = weight_col
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         if not len(batch):  # schemaless empty blocks survive exchanges
@@ -739,8 +757,9 @@ class _MinLabelStep:
             m = adj.merge(grp[["node", "lbl"]], left_on="src", right_on="node")
             if m.empty:
                 continue
+            step = m[self._wcol] if self._wcol else self._inc
             part = (
-                pd.DataFrame({"node": m["dst"], "cand": m["lbl"] + self._inc})
+                pd.DataFrame({"node": m["dst"], "cand": m["lbl"] + step})
                 .groupby("node", as_index=False)["cand"]
                 .min()
             )
@@ -1150,6 +1169,219 @@ def bfs_depth_oracle_sql(
             WHERE w.d < {max_depth}
         )
         SELECT node, min(d) AS depth FROM bfs_walk
+        GROUP BY node ORDER BY node
+    """
+
+
+# ---------------------------------------------------------------------------
+# Weighted multi-source shortest distance (cost from repo roots)
+# ---------------------------------------------------------------------------
+
+# edge costs: structural containment (repo→file, file→symbol) is cheap,
+# semantic hops (INVOKES / DEPENDS_ON / HAS_TAG / HAS_URL / ...) cost
+# more — so dist ranks "how far from the project surface a symbol sits
+# semantically", not just hop count. Fixed integer weights keep the
+# whole op BIGINT-exact for the strict oracle.
+_SSSP_CHEAP_PREDS = ("src__HAS_FILE", "src__DECLARES")
+_SSSP_CHEAP_W = 1
+_SSSP_FAR_W = 3
+SSSP_MAX_DIST = 255  # distance budget: output contract AND oracle walk cap
+SSSP_MAX_ITERS = 256  # ≥ budget/min-weight rounds always suffice
+
+
+def kg_sssp(sf_dir: str, max_iters: int = SSSP_MAX_ITERS) -> ray.data.Dataset:
+    """Weighted shortest distance from the repo roots over the final KG
+    edge table (see :func:`sssp_over`), from the once-per-corpus cached
+    distinct edge parquet."""
+    from codetoneo4j_ray.pipelines.kg_queries import ensure_kg_edges
+
+    nb = target_blocks()
+    edges = ray.data.read_parquet(
+        ensure_kg_edges(sf_dir), columns=["subj", "pred", "obj"],
+        override_num_blocks=nb,
+    )
+    return sssp_over(edges, max_iters=max_iters, num_buckets=nb,
+                     id_tables=_kg_id_tables(sf_dir, nb))
+
+
+def sssp_over(
+    edges: ray.data.Dataset,
+    roots_pred: str = BFS_ROOT_PRED,
+    cheap_preds: tuple[str, ...] = _SSSP_CHEAP_PREDS,
+    budget: int = SSSP_MAX_DIST,
+    max_iters: int = SSSP_MAX_ITERS,
+    num_buckets: int | None = None,
+    id_tables: tuple | None = None,
+) -> ray.data.Dataset:
+    """Multi-source WEIGHTED shortest distance (synchronous Bellman-Ford
+    relaxation with frontier deltas) over the directed distinct
+    (subj, obj, w) edges, where w = _SSSP_CHEAP_W for ``cheap_preds``
+    and _SSSP_FAR_W otherwise: roots (subjects of ``roots_pred`` edges)
+    start at 0; each round takes min(dist, min over in-edges
+    (src dist + w)). Runs until the frontier empties; output
+    (node, dist) for every node with dist ≤ ``budget``, sorted by node.
+
+    The budget is the op's contract on BOTH sides: the oracle caps its
+    recursive walk at the same total cost (which also bounds its cycle
+    expansion), and budget-pruning the Ray frontier is exact because
+    every ≤-budget path's prefixes are themselves ≤ budget. Positive
+    integer weights bound convergence by budget/min-weight rounds, so
+    ``max_iters`` = 256 can only trip on a genuine runaway — and then
+    it RAISES rather than returning partial distances. Same pinned
+    int64 machinery as components/BFS; the per-edge weight rides the
+    pinned adjacency, never an exchange."""
+    if max_iters < 1:
+        raise ValueError("sssp_over requires max_iters >= 1")
+    if num_buckets is None:
+        num_buckets = target_blocks()
+
+    cheap = set(cheap_preds)
+
+    def wpairs(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()[["subj", "pred", "obj"]]
+        w = np.where(
+            df["pred"].isin(cheap), _SSSP_CHEAP_W, _SSSP_FAR_W
+        ).astype("int64")
+        out = pd.DataFrame(
+            {"src": df["subj"], "dst": df["obj"], "w": w}
+        ).drop_duplicates()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    ids, _id_store, rev_store, adj_enc = _encode_pairs(
+        edges.map_batches(wpairs, batch_format="pyarrow"), num_buckets,
+        id_tables=id_tables, extra=("w",),
+    )
+    adj = build_bucket_store(adj_enc, None, num_buckets)
+
+    def root_rows(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        r = df.loc[df["pred"] == roots_pred, ["subj"]].drop_duplicates()
+        return pa.table({"node": pa.array(r["subj"].to_numpy(), pa.string())})
+
+    roots = bucketed_apply(
+        edges.map_batches(root_rows, batch_format="pyarrow"),
+        ["node"],
+        _dedup,
+        num_buckets,
+        keep_bucket=True,
+    )
+
+    def mark(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["is_root"] = 1
+        return df
+
+    roots_store = build_bucket_store(
+        roots.map_batches(mark, batch_format="pandas"), None, num_buckets
+    )
+
+    class _InitDist(_LookupJoin):
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            if not len(batch):
+                return pd.DataFrame(
+                    {
+                        "node": pd.Series([], dtype="int64"),
+                        "lbl": pd.Series([], dtype="int64"),
+                        "chg": pd.Series([], dtype=bool),
+                        "__bucket": pd.Series([], dtype="int32"),
+                    }
+                )
+            is_root = self._mapping(batch["node"], "node", "is_root").notna()
+            return pd.DataFrame(
+                {
+                    "node": batch["nid"].astype("int64"),
+                    "lbl": np.where(is_root, 0, _UNREACHED).astype("int64"),
+                    "chg": True,
+                    "__bucket": _ibucket(batch["nid"], num_buckets),
+                }
+            )
+
+    labels = ids.map_batches(
+        _InitDist(roots_store, num_buckets),
+        batch_format="pandas",
+        batch_size=None,
+    )
+
+    rounds = 0
+    while True:
+        for _ in range(_CHAIN_CHECKPOINT):
+            stepped = labels.map_batches(
+                # cutoff = budget: a node at dist ≥ budget cannot relax
+                # any neighbor to ≤ budget (weights ≥ 1), and every
+                # ≤-budget path's intermediate true distances are below
+                # the budget, so pruning loses nothing
+                _MinLabelStep(adj, num_buckets, cutoff=budget,
+                              weight_col="w"),
+                batch_format="pandas",
+                batch_size=None,
+            )
+            labels = prebucketed_apply(stepped, _min_reduce, keep_bucket=True)
+            rounds += 1
+        labels = labels.materialize()
+        if _none_changed(labels):
+            break
+        if rounds >= max_iters:
+            raise RuntimeError(
+                f"sssp_over did not converge within {max_iters} "
+                "relaxation rounds; raise max_iters"
+            )
+
+    class _DecodeDist(_LookupJoin):
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            batch = batch[batch["lbl"] <= budget]
+            if not len(batch):
+                return pd.DataFrame(
+                    {
+                        "node": pd.Series([], dtype=object),
+                        "dist": pd.Series([], dtype="int64"),
+                    }
+                )
+            return pd.DataFrame(
+                {
+                    "node": self._mapping(
+                        batch["node"], "nid", "node"
+                    ).to_numpy(),
+                    "dist": batch["lbl"].astype("int64").to_numpy(),
+                }
+            )
+
+    return labels.map_batches(
+        _DecodeDist(rev_store, num_buckets),
+        batch_format="pandas",
+        batch_size=None,
+    ).sort("node")
+
+
+def sssp_oracle_sql(
+    edges_cte: str,
+    roots_pred: str = BFS_ROOT_PRED,
+    budget: int = SSSP_MAX_DIST,
+) -> str:
+    """True weighted shortest distances via a recursive walk whose
+    total cost is capped at ``budget`` (the cap both matches the Ray
+    side's output contract and bounds cycle expansion — UNION dedups
+    (node, d) pairs, d ≤ budget, so the walk set is finite)."""
+    return f"""
+        WITH RECURSIVE {edges_cte},
+        sssp_adj AS (
+            SELECT DISTINCT subj AS src, obj AS dst,
+                   CAST(CASE WHEN pred IN ('src__HAS_FILE', 'src__DECLARES')
+                        THEN {_SSSP_CHEAP_W} ELSE {_SSSP_FAR_W} END
+                        AS BIGINT) AS w
+            FROM all_edges
+        ),
+        sssp_roots AS (
+            SELECT DISTINCT subj AS node FROM all_edges
+            WHERE pred = '{roots_pred}'
+        ),
+        sssp_walk(node, d) AS (
+            SELECT node, CAST(0 AS BIGINT) FROM sssp_roots
+            UNION
+            SELECT e.dst, w.d + e.w
+            FROM sssp_walk w JOIN sssp_adj e ON e.src = w.node
+            WHERE w.d + e.w <= {budget}
+        )
+        SELECT node, min(d) AS dist FROM sssp_walk
         GROUP BY node ORDER BY node
     """
 

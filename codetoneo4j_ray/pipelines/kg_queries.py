@@ -480,6 +480,7 @@ def oracle_kg(sf_dir: str) -> dict[str, str]:
         "kg_triangles": _graph_ops().triangles_oracle_sql(edges_cte),
         "kg_components": _graph_ops().components_oracle_sql(edges_cte),
         "kg_bfs_depth": _graph_ops().bfs_depth_oracle_sql(edges_cte),
+        "kg_sssp": _graph_ops().sssp_oracle_sql(edges_cte),
     }
 
 

@@ -172,6 +172,70 @@ def test_bfs_depth_raises_instead_of_truncating():
         bfs_depth_over(_edges_ds(rows), roots_pred="HAS_FILE", max_iters=3)
 
 
+def test_sssp_weighted_vs_hop_shortest_path():
+    from codetoneo4j_ray.pipelines.graph_ops import sssp_over
+
+    # root r; the DIRECT semantic edge r->s1 costs 3, the structural
+    # 2-hop route r->f->s1 costs 1+1=2 — weighted distance must pick
+    # the cheaper MORE-hop route (BFS depth would say 1)
+    rows = [
+        ("r", "HAS_FILE", "f"),
+        ("f", "DECLARES", "s1"),
+        ("r", "INVOKES", "s1"),
+        ("s1", "INVOKES", "s2"),
+        ("x", "INVOKES", "y"),  # unreachable island
+    ]
+    got = sssp_over(
+        _edges_ds(rows),
+        roots_pred="HAS_FILE",
+        cheap_preds=("HAS_FILE", "DECLARES"),
+    ).to_pandas()
+    assert dict(zip(got["node"], got["dist"])) == {
+        "r": 0, "f": 1, "s1": 2, "s2": 5,
+    }
+
+
+def test_sssp_budget_excludes_far_nodes():
+    from codetoneo4j_ray.pipelines.graph_ops import sssp_over
+
+    # a 4-hop semantic chain at weight 3/hop: with budget 7 only the
+    # first two hops (3, 6) fit
+    rows = [("r", "HAS_FILE", "n1")] + [
+        (f"n{i}", "INVOKES", f"n{i+1}") for i in range(1, 5)
+    ]
+    got = sssp_over(
+        _edges_ds(rows),
+        roots_pred="HAS_FILE",
+        cheap_preds=("HAS_FILE",),
+        budget=7,
+    ).to_pandas()
+    d = dict(zip(got["node"], got["dist"]))
+    assert d == {"r": 0, "n1": 1, "n2": 4, "n3": 7}
+
+
+def test_sssp_raises_instead_of_truncating():
+    import pytest as _pytest
+
+    from codetoneo4j_ray.pipelines.graph_ops import sssp_over
+
+    rows = [("r", "HAS_FILE", "n1")] + [
+        (f"n{i}", "INVOKES", f"n{i+1}") for i in range(1, 20)
+    ]
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        sssp_over(_edges_ds(rows), roots_pred="HAS_FILE",
+                  cheap_preds=("HAS_FILE",), max_iters=3)
+
+
+def test_kg_sssp_matches_oracle():
+    from codetoneo4j_ray.pipelines.graph_ops import kg_sssp
+
+    got = kg_sssp(SF).to_pandas()
+    exp = _oracle("kg_sssp")
+    assert len(got) == len(exp) > 0
+    assert list(got["node"]) == list(exp["node"])
+    assert list(got["dist"]) == list(exp["dist"])
+
+
 def test_kg_bfs_depth_matches_oracle():
     from codetoneo4j_ray.pipelines.graph_ops import kg_bfs_depth
 

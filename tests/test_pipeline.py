@@ -162,7 +162,7 @@ def test_entry_contract(ray_session):
     # driver-side omission; this keeps the repo side honest)
     rows_only = {"kg_mentions_raw", "ann_ivf", "embedding_kmeans"}
     assert set(qs) - set(sql) == rows_only
-    assert len(qs) == 52
+    assert len(qs) == 53
     assert {"media_decode_meta", "media_frame_sample"} <= set(sql)
 
 
