@@ -22,7 +22,7 @@ import pyarrow.parquet as pq
 from codetoneo4j_ray.schema import CORPUS_SCHEMA
 
 _CORPUS_ROOT = os.environ.get("C2N4J_CORPUS_DIR", "/tmp/c2n4j_corpus")
-_GENERATOR_VERSION = 5  # bump to invalidate cached corpora
+_GENERATOR_VERSION = 6  # bump to invalidate cached corpora
 
 
 def sf_from_dir(sf_dir: str) -> str:
@@ -61,7 +61,12 @@ def ensure_corpus(sf_dir: str) -> str:
         os.makedirs(out_dir, exist_ok=True)
         table = generate_corpus(n_repos, filler)
         tmp = path + ".tmp"
-        pq.write_table(table, tmp)
+        # bounded row groups: a single-row-group file forces Ray's
+        # read_parquet into ONE read task (row groups are its split
+        # unit), serializing the corpus scan ahead of extraction — a
+        # real 100 TB corpus is many files/row-groups, so the bench
+        # input should be too
+        pq.write_table(table, tmp, row_group_size=1024)
         os.replace(tmp, path)
         with open(stamp_path, "w") as f:
             f.write(stamp)
