@@ -103,6 +103,11 @@ BFS_MAX_ITERS = 256
 # continuing.
 _CHAIN_CHECKPOINT = 3
 
+# rounds executed by the most recent convergence loop of each op in
+# this process — introspection for benchmarks/tests (the loops are
+# driver-side, so a plain module dict is accurate per session)
+LAST_RUN_ROUNDS: dict[str, int] = {}
+
 
 def _dedup(df: pd.DataFrame) -> pd.DataFrame:
     return df.drop_duplicates()
@@ -941,6 +946,7 @@ def components_over(
             rounds += 1
         labels = labels.materialize()
         if _none_changed(labels):
+            LAST_RUN_ROUNDS["components"] = rounds
             break
         if rounds >= max_iters:
             raise RuntimeError(
@@ -1110,6 +1116,7 @@ def bfs_depth_over(
             rounds += 1
         labels = labels.materialize()
         if _none_changed(labels):
+            LAST_RUN_ROUNDS["bfs"] = rounds
             break
         if rounds >= max_iters:
             raise RuntimeError(
@@ -1319,6 +1326,7 @@ def sssp_over(
             rounds += 1
         labels = labels.materialize()
         if _none_changed(labels):
+            LAST_RUN_ROUNDS["sssp"] = rounds
             break
         if rounds >= max_iters:
             raise RuntimeError(
