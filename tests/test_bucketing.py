@@ -197,3 +197,23 @@ def test_bucketed_apply_empty_input(ray_session):
     )
     out = bucketed_apply(ds, ["key"], lambda df: df, K)
     assert out.count() == 0
+
+
+def test_bucket_store_consolidates_multi_block_input(ray_session):
+    """A store built from a multi-block dataset must hold ONE object per
+    bucket (ref count per handle = num_buckets, not blocks x buckets):
+    the handle rides inside every consumer map task, and per-task
+    ObjectRef registration once dominated iterative op wall time."""
+    import ray
+    import ray.data
+
+    from codetoneo4j_ray.stages.bucketing import BucketCache, build_bucket_store
+
+    ds = ray.data.from_pandas(
+        [pd.DataFrame({"key": [f"k{i}-{b}" for i in range(50)]}) for b in range(6)]
+    )
+    store = build_bucket_store(ds, ["key"], K)
+    assert all(len(p) == 1 for p in store.pieces)
+    # content unchanged by consolidation: every input row in exactly one bucket
+    total = sum(len(BucketCache(store).bucket_df(k)) for k in range(K))
+    assert total == 300
