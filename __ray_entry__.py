@@ -61,7 +61,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_components": graph_ops.kg_components,
         "kg_bfs_depth": graph_ops.kg_bfs_depth,
         "kg_sssp": graph_ops.kg_sssp,
-        "kg_mentions_raw": q_kg_mentions_raw,
         # commit subgraph (UpsertCommit/UpsertFile cypher analogs)
         "kg_commits": q_kg_commits,
         "kg_commit_edges": q_kg_commit_edges,
@@ -85,8 +84,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         # similarity search
         "ann_topk": data_ops.ann_topk,
-        "ann_ivf": data_ops.ann_ivf,
-        "embedding_kmeans": data_ops.embedding_kmeans,
         "embedding_quantize": data_ops.embedding_quantize,
         # text analysis
         "text_stats": data_ops.text_stats,
@@ -118,6 +115,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal plumbing (stubbed decode)
         "media_decode_meta": multimodal.media_decode_meta,
         "media_frame_sample": multimodal.media_frame_sample,
+        # rows-only entries (no SQL oracle by design) go LAST so the
+        # driver's 50-entry gate window covers every strict-oracle op;
+        # each is covered by a recall/shape pytest instead.
+        "kg_mentions_raw": q_kg_mentions_raw,
+        "ann_ivf": data_ops.ann_ivf,
+        "embedding_kmeans": data_ops.embedding_kmeans,
     }
 
 

@@ -218,6 +218,18 @@ class _DartScanner:
             anns = self._annotations_before(i, start)
             doc = self.trivia.get(t.line)
 
+            # library/part/export directives (incl. ``part of x;``) emit
+            # nothing — the reference visitor has no PartOfDirective /
+            # LibraryDirective branch (ast_visitor.dart) — and must not
+            # fall through to the declaration matchers, which would
+            # misread ``part of my_lib;`` as a typed variable.
+            if v in ("library", "part", "export") and current_class is None:
+                j = i + 1
+                while j < end and self.v(j) != ";":
+                    j += 1
+                i = j + 1
+                continue
+
             if v == "import" and current_class is None:
                 j = i + 1
                 uri = None
@@ -320,7 +332,28 @@ class _DartScanner:
         if typed_from is not None:
             self._rel("field", name, t.line, "class",
                       self.v(typed_from), DEPENDS_ON)
-        while j < len(self.toks) and self.v(j) != ";":
+        # multi-variable declarations (``int x = 1, y = 2;``): the
+        # reference's visitTopLevelVariableDeclaration iterates
+        # node.variables.variables — emit one Field per comma-separated
+        # name at initializer depth 0.
+        depth = 0
+        while j < len(self.toks) and (depth > 0 or self.v(j) != ";"):
+            vj = self.v(j)
+            if vj in ("(", "[", "{"):
+                depth += 1
+            elif vj in (")", "]", "}"):
+                depth -= 1
+            elif (depth == 0 and vj == ","
+                  and self.k(j + 1) == "id"
+                  and self.v(j + 1) not in _NOT_CALLS
+                  and self.v(j + 2) in ("=", ",", ";")):
+                nm = self.v(j + 1)
+                self._emit(nm, "Field", "field", self._fqn(nm, None),
+                           t.line, t.line, self._accessibility(nm, anns), doc)
+                if typed_from is not None:
+                    self._rel("field", nm, t.line, "class",
+                              self.v(typed_from), DEPENDS_ON)
+                j += 1
             j += 1
         return j + 1
 

@@ -231,15 +231,66 @@ def _files_output(files):
     return lww_sorted(finalize_files(files), "key", _FILE_TIEBREAK)
 
 
-def resolve_mode(mode: str) -> str:
-    """Resolve "auto" to a concrete linking mode from cluster topology:
-    "partitioned" when more than one alive node is attached (the
-    broadcast-mode driver-side structures must never be the default on
-    a real cluster), "broadcast" on a single node (lowest latency while
-    the index fits one machine). Explicit modes pass through so either
-    can still be forced per run."""
+# "auto" stays broadcast only while the corpus (and hence the
+# driver-assembled type-index / member-index / key-set, which scale
+# with it) fits a single node comfortably. Content bytes are a crude
+# upper proxy — the indices are a small fraction of content — so the
+# default is sized for a 128 GiB node with ample headroom. Override
+# per deployment via GRAFT_BROADCAST_BUDGET_BYTES.
+_BROADCAST_BUDGET_DEFAULT = 8 << 30  # 8 GiB of corpus content
+
+
+def broadcast_byte_budget() -> int:
+    return int(
+        os.environ.get("GRAFT_BROADCAST_BUDGET_BYTES",
+                       _BROADCAST_BUDGET_DEFAULT)
+    )
+
+
+def corpus_content_bytes(input_path: str) -> int | None:
+    """Uncompressed byte size of the corpus ``content`` column, from
+    parquet footers only (no data read). None when the estimate can't
+    be made (missing column / non-parquet input)."""
+    import pyarrow.parquet as pq
+
+    paths = []
+    if os.path.isdir(input_path):
+        for root, _dirs, files in os.walk(input_path):
+            paths += [os.path.join(root, f) for f in files
+                      if f.endswith(".parquet")]
+    else:
+        paths = [input_path]
+    total = 0
+    seen = False
+    try:
+        for p in paths:
+            md = pq.ParquetFile(p).metadata
+            names = {md.schema.column(i).name: i
+                     for i in range(md.num_columns)}
+            if "content" not in names:
+                continue
+            ci = names["content"]
+            for rg in range(md.num_row_groups):
+                total += md.row_group(rg).column(ci).total_uncompressed_size
+                seen = True
+    except Exception:  # noqa: BLE001 — estimator must never break a build
+        return None
+    return total if seen else None
+
+
+def resolve_mode(mode: str, corpus_bytes: int | None = None) -> str:
+    """Resolve "auto" to a concrete linking mode: "partitioned" when
+    more than one alive node is attached (the broadcast-mode
+    driver-side structures must never be the default on a real
+    cluster) OR when the corpus-content estimate exceeds the broadcast
+    byte budget (a single fat node on a huge corpus must not assemble
+    a corpus-scale index on the driver either); "broadcast" otherwise
+    (lowest latency while the index fits one machine). Explicit modes
+    pass through so either can still be forced per run."""
     if mode != "auto":
         return mode
+    if corpus_bytes is not None and corpus_bytes > broadcast_byte_budget():
+        return "partitioned"
     try:
         alive = [n for n in ray.nodes() if n.get("Alive")]
     except Exception:
@@ -292,7 +343,7 @@ def build_graph(
     batch_size: int = 64,
 ) -> dict:
     """Full run with a records checkpoint; returns metrics."""
-    mode = resolve_mode(mode)
+    mode = resolve_mode(mode, corpus_bytes=corpus_content_bytes(input_path))
     pkg_stat = None
     if packages_path is not None:
         import os
@@ -371,6 +422,7 @@ def build_graph(
         for name, rows in pool.map(write_one, ("nodes", "edges", "files")):
             metrics[name] = rows
     metrics["stage1_sec"] = stage1_sec
+    metrics["mode"] = mode
     write_manifest(out_dir, "graph", fp, metrics)
     return metrics
 

@@ -457,61 +457,53 @@ def kg_pagerank(
                          id_tables=_kg_id_tables(sf_dir, nb))
 
 
-class _PageRankStep:
-    """The fused per-iteration map: for each rank row (node, r) in
-    bucket k, join the pinned int-encoded edge pieces of bucket k
-    (same hash, so edges with src=node live exactly there) and emit
-    per-dst partial contribution sums ('c' rows, map-side combined)
-    PLUS the node presence rows ('n', so dangling targets survive the
-    next reduce). One map + one rank-sized exchange per iteration;
-    plain task fn + process-level bucket cache, so Ray's reused worker
-    processes keep the fetched edge buckets warm across all iterations
-    and the whole power iteration runs as a single lazy chain with no
-    per-step driver sync."""
+@ray.remote
+def _rt_pr_step(lbl, num_buckets, adj_refs):
+    """One bucket's contribution map: per-dst partial sums of
+    r(u) // outdeg(u) over this bucket's pinned adjacency piece,
+    map-side combined and routed by dst bucket."""
+    empty = tuple([None] * num_buckets)
+    if lbl is None or lbl.num_rows == 0:
+        return empty
+    adj = _cached_bucket_df(adj_refs)
+    if adj.empty:
+        return empty
+    df = lbl.to_pandas()
+    m = adj.merge(df[["node", "r"]], left_on="src", right_on="node")
+    if m.empty:
+        return empty
+    c = m["r"].astype("int64") // m["d"].astype("int64")
+    part = (
+        pd.DataFrame({"node": m["dst"].astype("int64"), "c": c})
+        .groupby("node", as_index=False)["c"]
+        .sum()
+    )
+    part["c"] = part["c"].astype("int64")
+    return _route_by_bucket(part, "node", num_buckets)
 
-    def __init__(self, store, num_buckets: int):
-        self._store = store
-        self._k = num_buckets
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        if not len(batch):  # schemaless empty blocks survive exchanges
-            return pd.DataFrame(
-                {
-                    "node": pd.Series([], dtype="int64"),
-                    "c": pd.Series([], dtype="int64"),
-                    "side": pd.Series([], dtype=object),
-                    "__bucket": pd.Series([], dtype="int32"),
-                }
-            )
-        cache = process_cache(self._store)
-        outs = [
-            pd.DataFrame(
-                {
-                    "node": batch["node"].astype("int64"),
-                    "c": np.int64(0),
-                    "side": "n",
-                    "__bucket": batch["__bucket"].astype("int32"),
-                }
-            )
-        ]
-        for k, grp in batch.groupby("__bucket", sort=False):
-            e = cache.bucket_df(int(k))
-            if e.empty:
-                continue
-            m = e.merge(grp[["node", "r"]], left_on="src", right_on="node")
-            if m.empty:
-                continue
-            c = m["r"].astype("int64") // m["d"].astype("int64")
-            part = (
-                pd.DataFrame({"node": m["dst"], "c": c})
-                .groupby("node", as_index=False)["c"]
-                .sum()
-            )
-            part["c"] = part["c"].astype("int64")
-            part["side"] = "c"
-            part["__bucket"] = _ibucket(part["node"], self._k)
-            outs.append(part[["node", "c", "side", "__bucket"]])
-        return pd.concat(outs, ignore_index=True)
+@ray.remote
+def _rt_pr_reduce(lbl, base, *partials):
+    """One bucket's power step: r' = base + 85*sum(contribs)//100 for
+    every node this bucket owns (dangling targets survive because the
+    node list comes from the bucket's own label table, never from the
+    contribution stream)."""
+    if lbl is None or lbl.num_rows == 0:
+        return pa.table(
+            {"node": pa.array([], pa.int64()), "r": pa.array([], pa.int64())}
+        )
+    m = lbl.to_pandas()[["node"]].copy()
+    tabs = [t for t in partials if t is not None]
+    if tabs:
+        s = pa.concat_tables(tabs).to_pandas().groupby("node")["c"].sum()
+        # reindex keeps int64 end-to-end — a left merge would go
+        # through float64 and round sums past 2**53 (mass can reach
+        # _MAX_SAFE_SUM ≈ 1.1e17)
+        m["c"] = s.reindex(m["node"].to_numpy(), fill_value=0).to_numpy()
+    else:
+        m["c"] = np.int64(0)
+    m["r"] = (base + 85 * m["c"].astype("int64") // 100).astype("int64")
+    return pa.Table.from_pandas(m[["node", "r"]], preserve_index=False)
 
 
 def pagerank_over(
@@ -585,23 +577,26 @@ def pagerank_over(
 
     ranks = ids.map_batches(init_rank, batch_format="pandas")
 
-    def apply_rank(df: pd.DataFrame, _k: int) -> pd.DataFrame:
-        c = df.loc[df["side"] == "c", ["node", "c"]]
-        s = c.groupby("node", as_index=False).agg(s=("c", "sum"))
-        n = df.loc[df["side"] == "n", ["node"]]
-        m = n.merge(s, on="node", how="left")
-        m["s"] = m["s"].fillna(0).astype("int64")
-        m["r"] = base + 85 * m["s"] // 100
-        return m[["node", "r"]]
-
-    for i in range(iters):
-        stepped = ranks.map_batches(
-            _PageRankStep(store, num_buckets), batch_format="pandas"
-        )
-        ranks = prebucketed_apply(stepped, apply_rank, keep_bucket=True)
-        if (i + 1) % _CHAIN_CHECKPOINT == 0 and i + 1 < iters:
-            # bound lazy-plan growth (see components_over)
-            ranks = ranks.materialize()
+    if iters > 0:
+        # raw-task power iteration (see the raw-task core note): each
+        # step is K contribution tasks + K reduce tasks chained purely
+        # by ObjectRefs — the driver never syncs until the decode
+        rank_refs = _label_store_refs(ranks, num_buckets)
+        for _ in range(iters):
+            partials = [
+                _rt_pr_step.options(num_returns=num_buckets).remote(
+                    rank_refs[k], num_buckets, store.pieces[k]
+                )
+                for k in range(num_buckets)
+            ]
+            rank_refs = [
+                _rt_pr_reduce.remote(
+                    rank_refs[k], base,
+                    *[partials[j][k] for j in range(num_buckets)],
+                )
+                for k in range(num_buckets)
+            ]
+        ranks = ray.data.from_arrow_refs(rank_refs)
 
     class _DecodeRank(_LookupJoin):
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
@@ -696,180 +691,263 @@ def kg_components(sf_dir: str, max_iters: int = CC_MAX_ITERS) -> ray.data.Datase
                            id_tables=_kg_id_tables(sf_dir, nb))
 
 
-class _MinLabelStep:
-    """Fused per-iteration map for frontier (delta) label propagation:
-    each label row (node, lbl, chg) in bucket k emits a self row
-    carrying its current label, and — ONLY if its label changed last
-    step — per-neighbor candidate minima via the pinned
-    symmetric-adjacency pieces of bucket k (map-side combined).
-    Skipping unchanged nodes is exact for a monotone MIN: an unchanged
-    label was already offered to every neighbor in an earlier step and
-    minima never regress — so per-level results equal the full
-    propagation's, while the candidate volume collapses as waves
-    subside. Labels are int64 nids (assign_order_ids), so every
-    exchange carries 8-byte values and MIN is numeric, not an object
-    comparison over long key strings.
+# ---------------------------------------------------------------------------
+# Raw-task iterative core
+#
+# The per-round exchange of an iterative fixpoint is node-sized (8-byte
+# labels), but a Ray Data groupby exchange costs ~2 s of planning +
+# sort-stage scheduling per round regardless of payload — at sf0.1 the
+# actual label exchange inside a pagerank round was ~0.6 s of a 2.6 s
+# round. So the inner loops run as raw Ray tasks over bucket-pinned
+# label tables instead (the one place the Dataset API genuinely can't
+# express the semantics cheaply: a per-round bucket→bucket all-to-all
+# with driver-free chaining). Partitioning contract: labels for bucket
+# k are exactly the nodes with _ibucket(nid) == k, matching the pinned
+# adjacency's _ibucket(src) tags, so step task k needs only adjacency
+# piece k and emits candidate partials routed by _ibucket(dst). Each
+# round is K step tasks (num_returns=K min-combined partials) + K
+# reduce tasks (num_returns=2: new labels + changed-count); the driver
+# syncs only on K tiny ints per round. At cluster scale every object
+# stays in the object store and K scales with the cluster
+# (target_blocks), exactly like the BucketStore pieces.
+# ---------------------------------------------------------------------------
 
-    ``increment`` is added to each neighbor candidate (0 for component
-    labels, 1 for BFS depths); ``weight_col`` names a per-edge int64
-    column in the pinned adjacency used INSTEAD of the scalar increment
-    (weighted shortest distance); rows at or above ``cutoff`` (the
-    unreached sentinel, or the distance budget) never emit
-    candidates."""
-
-    def __init__(
-        self,
-        store,
-        num_buckets: int,
-        increment: int = 0,
-        cutoff: int | None = None,
-        weight_col: str | None = None,
-    ):
-        self._store = store
-        self._k = num_buckets
-        self._inc = increment
-        self._cutoff = cutoff
-        self._wcol = weight_col
-
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        if not len(batch):  # schemaless empty blocks survive exchanges
-            return pd.DataFrame(
-                {
-                    "node": pd.Series([], dtype="int64"),
-                    "cand": pd.Series([], dtype="int64"),
-                    "own": pd.Series([], dtype=bool),
-                    "__bucket": pd.Series([], dtype="int32"),
-                }
-            )
-        cache = process_cache(self._store)
-        outs = [
-            pd.DataFrame(
-                {
-                    "node": batch["node"].astype("int64"),
-                    "cand": batch["lbl"].astype("int64"),
-                    "own": True,
-                    "__bucket": batch["__bucket"].astype("int32"),
-                }
-            )
-        ]
-        frontier = batch[batch["chg"]]
-        if self._cutoff is not None:
-            frontier = frontier[frontier["lbl"] < self._cutoff]
-        for k, grp in frontier.groupby("__bucket", sort=False):
-            adj = cache.bucket_df(int(k))
-            if adj.empty:
-                continue
-            m = adj.merge(grp[["node", "lbl"]], left_on="src", right_on="node")
-            if m.empty:
-                continue
-            step = m[self._wcol] if self._wcol else self._inc
-            part = (
-                pd.DataFrame({"node": m["dst"], "cand": m["lbl"] + step})
-                .groupby("node", as_index=False)["cand"]
-                .min()
-            )
-            part["own"] = False
-            part["__bucket"] = _ibucket(part["node"], self._k)
-            outs.append(part[["node", "cand", "own", "__bucket"]])
-        return pd.concat(outs, ignore_index=True)
+_RT_TBL_CACHE: dict[str, pd.DataFrame] = {}
+_RT_TBL_CACHE_MAX = 192  # ~1-2 stores' worth of buckets per worker
 
 
-def _min_reduce(df: pd.DataFrame, _k: int) -> pd.DataFrame:
-    new = df.groupby("node", as_index=False)["cand"].min()
-    old = df.loc[df["own"], ["node", "cand"]].rename(columns={"cand": "old"})
-    out = new.merge(old.drop_duplicates("node"), on="node", how="left")
-    # a node absent from 'own' rows can't occur (self rows cover
-    # every node), but guard the comparison anyway
-    out["old"] = out["old"].fillna(out["cand"]).astype("int64")
-    out["chg"] = out["cand"] < out["old"]
-    out["lbl"] = out["cand"].astype("int64")
-    return out[["node", "lbl", "chg"]]
-
-
-def _none_changed(labels: ray.data.Dataset) -> bool:
-    """True when no label changed in the LAST propagation round. The
-    frontier discipline means every earlier change has already been
-    offered to all neighbors, so an empty final frontier is exactly
-    the global fixpoint — all further rounds are the identity."""
-    import pandas as _pd
-
-    tot = labels.map_batches(
-        lambda df: _pd.DataFrame({"n": [int(df["chg"].sum())]}),
-        batch_format="pandas",
-    ).sum("n")
-    return not tot
-
-
-def _pointer_jump(labels: ray.data.Dataset, num_buckets: int) -> ray.data.Dataset:
-    """One round of label shortcutting: lbl(v) ← min(lbl(v),
-    lbl(lbl(v))). Sound for min-label propagation — labels are node
-    ids, lbl(u) ≤ u always, and lbl(lbl(v)) names a node in v's own
-    component — so the jump is monotone decreasing toward the same
-    fixpoint, and interleaving it with propagation turns path-shaped
-    convergence from O(diameter) rounds into O(log n). Nodes the jump
-    lowers are marked changed so they re-offer next step.
-
-    One node-sized exchange: every label row emits a provider row
-    (key=node, already in its own bucket) plus a seeker row routed to
-    bucket-of-lbl; the reduce maps each seeker through its bucket's
-    provider dict and retags the output by bucket-of-node. The output
-    feeds _MinLabelStep directly (the step groups by __bucket itself),
-    so no second exchange is needed."""
-
-    def emit(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df):  # schemaless empty blocks survive exchanges
-            return pd.DataFrame(
-                {
-                    "key": pd.Series([], dtype="int64"),
-                    "node": pd.Series([], dtype="int64"),
-                    "val": pd.Series([], dtype="int64"),
-                    "chg": pd.Series([], dtype=bool),
-                    "seek": pd.Series([], dtype=bool),
-                    "__bucket": pd.Series([], dtype="int32"),
-                }
-            )
-        prov = pd.DataFrame(
-            {
-                "key": df["node"].astype("int64"),
-                "node": np.int64(-1),
-                "val": df["lbl"].astype("int64"),
-                "chg": False,
-                "seek": False,
-                "__bucket": df["__bucket"].astype("int32"),
-            }
+def _cached_bucket_df(refs) -> pd.DataFrame:
+    """Worker-process cache of a pinned bucket (list of ObjectRefs →
+    concatenated DataFrame), keyed by ref identity — the raw-task
+    analog of process_cache, so reused worker processes fetch each
+    adjacency bucket once across all rounds."""
+    key = refs[0].hex() if refs else ""
+    df = _RT_TBL_CACHE.get(key)
+    if df is None:
+        tabs = [t for t in ray.get(list(refs)) if t is not None]
+        df = (
+            pa.concat_tables(tabs).to_pandas()
+            if tabs
+            else pd.DataFrame()
         )
-        seek = pd.DataFrame(
-            {
-                "key": df["lbl"].astype("int64"),
-                "node": df["node"].astype("int64"),
-                "val": df["lbl"].astype("int64"),
-                "chg": df["chg"].astype(bool),
-                "seek": True,
-            }
-        )
-        seek["__bucket"] = _ibucket(seek["key"], num_buckets)
-        return pd.concat([prov, seek], ignore_index=True)
+        while len(_RT_TBL_CACHE) >= _RT_TBL_CACHE_MAX:
+            _RT_TBL_CACHE.pop(next(iter(_RT_TBL_CACHE)))
+        _RT_TBL_CACHE[key] = df
+    return df
 
-    def jump_reduce(df: pd.DataFrame, _k: int) -> pd.DataFrame:
-        prov = df.loc[~df["seek"]].set_index("key")["val"]
-        prov = prov[~prov.index.duplicated()]
-        s = df.loc[df["seek"]]
-        j = s["key"].map(prov).fillna(s["val"]).astype("int64")
-        lowered = j.to_numpy() < s["val"].to_numpy()
-        out = pd.DataFrame(
-            {
-                "node": s["node"].astype("int64").to_numpy(),
-                "lbl": np.minimum(j.to_numpy(), s["val"].to_numpy()),
-                "chg": s["chg"].to_numpy() | lowered,
-            }
-        )
-        out["__bucket"] = _ibucket(out["node"], num_buckets)
-        return out
 
-    return prebucketed_apply(
-        labels.map_batches(emit, batch_format="pandas", batch_size=None),
-        jump_reduce,
+def _empty_label_tbl() -> pa.Table:
+    return pa.table(
+        {
+            "node": pa.array([], pa.int64()),
+            "lbl": pa.array([], pa.int64()),
+            "chg": pa.array([], pa.bool_()),
+        }
     )
+
+
+def _route_by_bucket(df: pd.DataFrame, col, num_buckets: int):
+    """Split ``df`` into a K-tuple of per-bucket Arrow tables (None for
+    empty buckets) routed by _ibucket(df[col])."""
+    if df.empty:
+        return tuple([None] * num_buckets)
+    ids = _ibucket(df[col], num_buckets)
+    out: list = [None] * num_buckets
+    for k in np.unique(ids):
+        out[int(k)] = pa.Table.from_pandas(
+            df[ids == k], preserve_index=False
+        )
+    return tuple(out)
+
+
+@ray.remote
+def _rt_min_step(lbl, num_buckets, increment, cutoff, weight_col, adj_refs):
+    """One bucket's propagation map: min-combined neighbor candidates
+    (node, cand) for this bucket's frontier rows, routed by dst
+    bucket. ``adj_refs`` arrives unresolved (inside a list) so the
+    worker-process cache can key on ref identity."""
+    empty = tuple([None] * num_buckets)
+    if lbl is None or lbl.num_rows == 0:
+        return empty
+    df = lbl.to_pandas()
+    fr = df[df["chg"]]
+    if cutoff is not None:
+        fr = fr[fr["lbl"] < cutoff]
+    if fr.empty:
+        return empty
+    adj = _cached_bucket_df(adj_refs)
+    if adj.empty:
+        return empty
+    m = adj.merge(fr[["node", "lbl"]], left_on="src", right_on="node")
+    if m.empty:
+        return empty
+    step = m[weight_col] if weight_col else increment
+    part = (
+        pd.DataFrame({"node": m["dst"].astype("int64"),
+                      "cand": (m["lbl"] + step).astype("int64")})
+        .groupby("node", as_index=False)["cand"]
+        .min()
+    )
+    return _route_by_bucket(part, "node", num_buckets)
+
+
+@ray.remote(num_returns=2)
+def _rt_min_reduce(lbl, *partials):
+    """One bucket's reduce: lbl ← min(lbl, candidates); returns the new
+    label table and how many labels changed (the driver's convergence
+    signal — K ints per round, never tables)."""
+    if lbl is None or lbl.num_rows == 0:
+        return _empty_label_tbl(), 0
+    tabs = [t for t in partials if t is not None]
+    df = lbl.to_pandas()
+    if not tabs:
+        if bool(df["chg"].any()):
+            df = df.copy()
+            df["chg"] = False
+            return pa.Table.from_pandas(df, preserve_index=False), 0
+        return lbl, 0
+    cand = (
+        pa.concat_tables(tabs)
+        .to_pandas()
+        .groupby("node")["cand"]
+        .min()
+    )
+    old = df["lbl"].to_numpy()
+    # int64-preserving lookup: reindex with an int fill never routes
+    # through float64 (a left merge would, silently rounding values
+    # past 2**53); int64-max loses every min() against a real label
+    c = cand.reindex(
+        df["node"].to_numpy(), fill_value=np.iinfo(np.int64).max
+    ).to_numpy()
+    new = np.minimum(old, c)
+    chg = new < old
+    out = pd.DataFrame(
+        {"node": df["node"].astype("int64"), "lbl": new.astype("int64"),
+         "chg": chg}
+    )
+    return pa.Table.from_pandas(out, preserve_index=False), int(chg.sum())
+
+
+@ray.remote
+def _rt_jump_seek(lbl, num_buckets):
+    """Pointer-jump phase 1: every label row asks bucket-of-lbl for its
+    own label. Emits (node, val=lbl, chg, key=lbl) routed by
+    _ibucket(lbl)."""
+    if lbl is None or lbl.num_rows == 0:
+        return tuple([None] * num_buckets)
+    df = lbl.to_pandas()
+    seek = pd.DataFrame(
+        {
+            "key": df["lbl"].astype("int64"),
+            "node": df["node"].astype("int64"),
+            "val": df["lbl"].astype("int64"),
+            "chg": df["chg"].astype(bool),
+        }
+    )
+    return _route_by_bucket(seek, "key", num_buckets)
+
+
+@ray.remote
+def _rt_jump_answer(lbl, num_buckets, *seeks):
+    """Pointer-jump phase 2: this bucket resolves key → its label for
+    every seeker; answers (node, lbl=min(val, lbl(lbl)), chg|lowered)
+    are routed back by _ibucket(node)."""
+    tabs = [t for t in seeks if t is not None]
+    if not tabs:
+        return tuple([None] * num_buckets)
+    s = pa.concat_tables(tabs).to_pandas()
+    if lbl is None or lbl.num_rows == 0:
+        prov = pd.Series(dtype="int64")
+    else:
+        p = lbl.to_pandas()
+        prov = p.set_index("node")["lbl"]
+    j = s["key"].map(prov).fillna(s["val"]).astype("int64")
+    lowered = j.to_numpy() < s["val"].to_numpy()
+    out = pd.DataFrame(
+        {
+            "node": s["node"].astype("int64").to_numpy(),
+            "lbl": np.minimum(j.to_numpy(), s["val"].to_numpy()),
+            "chg": s["chg"].to_numpy() | lowered,
+        }
+    )
+    return _route_by_bucket(out, "node", num_buckets)
+
+
+@ray.remote
+def _rt_concat_labels(*tabs):
+    ts = [t for t in tabs if t is not None and t.num_rows]
+    return pa.concat_tables(ts) if ts else _empty_label_tbl()
+
+
+def _rt_pointer_jump(label_refs: list, num_buckets: int) -> list:
+    seeks = [
+        _rt_jump_seek.options(num_returns=num_buckets).remote(
+            label_refs[k], num_buckets
+        )
+        for k in range(num_buckets)
+    ]
+    answers = [
+        _rt_jump_answer.options(num_returns=num_buckets).remote(
+            label_refs[k], num_buckets,
+            *[seeks[j][k] for j in range(num_buckets)],
+        )
+        for k in range(num_buckets)
+    ]
+    return [
+        _rt_concat_labels.remote(*[answers[j][k] for j in range(num_buckets)])
+        for k in range(num_buckets)
+    ]
+
+
+def _label_store_refs(labels: ray.data.Dataset, num_buckets: int) -> list:
+    """Pin a __bucket-tagged label dataset as one ObjectRef per bucket
+    (None possible for empty buckets — the loop tasks tolerate it)."""
+    store = build_bucket_store(labels, None, num_buckets)
+    return [p[0] for p in store.pieces]
+
+
+def _rt_label_loop(
+    adj,
+    label_refs: list,
+    num_buckets: int,
+    *,
+    increment: int = 0,
+    cutoff: int | None = None,
+    weight_col: str | None = None,
+    max_iters: int,
+    op_name: str,
+    jump: bool = False,
+    raise_msg: str,
+) -> list:
+    """Run min-label propagation rounds over bucket-pinned labels until
+    the frontier empties; raise past ``max_iters`` (exact — convergence
+    is tested every round). Returns the final per-bucket label refs."""
+    rounds = 0
+    while True:
+        partials = [
+            _rt_min_step.options(num_returns=num_buckets).remote(
+                label_refs[k], num_buckets, increment, cutoff, weight_col,
+                adj.pieces[k],
+            )
+            for k in range(num_buckets)
+        ]
+        results = [
+            _rt_min_reduce.remote(
+                label_refs[k],
+                *[partials[j][k] for j in range(num_buckets)],
+            )
+            for k in range(num_buckets)
+        ]
+        label_refs = [r[0] for r in results]
+        counts = ray.get([r[1] for r in results])
+        rounds += 1
+        if sum(counts) == 0:
+            LAST_RUN_ROUNDS[op_name] = rounds
+            return label_refs
+        if rounds >= max_iters:
+            raise RuntimeError(raise_msg.format(max_iters=max_iters))
+        if jump and rounds % _CHAIN_CHECKPOINT == 0:
+            label_refs = _rt_pointer_jump(label_refs, num_buckets)
 
 
 def components_over(
@@ -932,28 +1010,21 @@ def components_over(
             }
         )
 
-    labels = ids.map_batches(init_labels, batch_format="pandas")
-
-    rounds = 0
-    while True:
-        for _ in range(_CHAIN_CHECKPOINT):
-            stepped = labels.map_batches(
-                _MinLabelStep(adj, num_buckets),
-                batch_format="pandas",
-                batch_size=None,
-            )
-            labels = prebucketed_apply(stepped, _min_reduce, keep_bucket=True)
-            rounds += 1
-        labels = labels.materialize()
-        if _none_changed(labels):
-            LAST_RUN_ROUNDS["components"] = rounds
-            break
-        if rounds >= max_iters:
-            raise RuntimeError(
-                f"components_over did not converge within {max_iters} "
-                "min-label rounds; raise max_iters"
-            )
-        labels = _pointer_jump(labels, num_buckets)
+    label_refs = _rt_label_loop(
+        adj,
+        _label_store_refs(
+            ids.map_batches(init_labels, batch_format="pandas"), num_buckets
+        ),
+        num_buckets,
+        max_iters=max_iters,
+        op_name="components",
+        jump=True,
+        raise_msg=(
+            "components_over did not converge within {max_iters} "
+            "min-label rounds; raise max_iters"
+        ),
+    )
+    labels = ray.data.from_arrow_refs(label_refs)
 
     return labels.map_batches(
         _DecodeLabels(rev_store, num_buckets),
@@ -1104,25 +1175,24 @@ def bfs_depth_over(
         batch_size=None,
     )
 
-    rounds = 0
-    while True:
-        for _ in range(_CHAIN_CHECKPOINT):
-            stepped = labels.map_batches(
-                _MinLabelStep(adj, num_buckets, increment=1, cutoff=_UNREACHED),
-                batch_format="pandas",
-                batch_size=None,
-            )
-            labels = prebucketed_apply(stepped, _min_reduce, keep_bucket=True)
-            rounds += 1
-        labels = labels.materialize()
-        if _none_changed(labels):
-            LAST_RUN_ROUNDS["bfs"] = rounds
-            break
-        if rounds >= max_iters:
-            raise RuntimeError(
-                f"bfs_depth_over did not converge within {max_iters} "
-                "rounds; raise max_iters (and the oracle cap) together"
-            )
+    # convergence is tested every round, so a graph whose max finite
+    # depth is max_iters+1 RAISES at exactly max_iters — it can never
+    # converge past the bound and return depths the oracle's capped
+    # walk doesn't generate (ADVICE r4)
+    label_refs = _rt_label_loop(
+        adj,
+        _label_store_refs(labels, num_buckets),
+        num_buckets,
+        increment=1,
+        cutoff=_UNREACHED,
+        max_iters=max_iters,
+        op_name="bfs",
+        raise_msg=(
+            "bfs_depth_over did not converge within {max_iters} "
+            "rounds; raise max_iters (and the oracle cap) together"
+        ),
+    )
+    labels = ray.data.from_arrow_refs(label_refs)
 
     class _DecodeDepth(_LookupJoin):
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
@@ -1309,30 +1379,24 @@ def sssp_over(
         batch_size=None,
     )
 
-    rounds = 0
-    while True:
-        for _ in range(_CHAIN_CHECKPOINT):
-            stepped = labels.map_batches(
-                # cutoff = budget: a node at dist ≥ budget cannot relax
-                # any neighbor to ≤ budget (weights ≥ 1), and every
-                # ≤-budget path's intermediate true distances are below
-                # the budget, so pruning loses nothing
-                _MinLabelStep(adj, num_buckets, cutoff=budget,
-                              weight_col="w"),
-                batch_format="pandas",
-                batch_size=None,
-            )
-            labels = prebucketed_apply(stepped, _min_reduce, keep_bucket=True)
-            rounds += 1
-        labels = labels.materialize()
-        if _none_changed(labels):
-            LAST_RUN_ROUNDS["sssp"] = rounds
-            break
-        if rounds >= max_iters:
-            raise RuntimeError(
-                f"sssp_over did not converge within {max_iters} "
-                "relaxation rounds; raise max_iters"
-            )
+    # cutoff = budget: a node at dist ≥ budget cannot relax any
+    # neighbor to ≤ budget (weights ≥ 1), and every ≤-budget path's
+    # intermediate true distances are below the budget, so pruning
+    # loses nothing. max_iters is exact (tested every round).
+    label_refs = _rt_label_loop(
+        adj,
+        _label_store_refs(labels, num_buckets),
+        num_buckets,
+        cutoff=budget,
+        weight_col="w",
+        max_iters=max_iters,
+        op_name="sssp",
+        raise_msg=(
+            "sssp_over did not converge within {max_iters} "
+            "relaxation rounds; raise max_iters"
+        ),
+    )
+    labels = ray.data.from_arrow_refs(label_refs)
 
     class _DecodeDist(_LookupJoin):
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:

@@ -269,7 +269,11 @@ def build_graph_incremental(
             "read is lazy, and rebuilding in place would delete the prior "
             "checkpoint before it is read"
         )
-    mode = resolve_mode(mode)  # concrete mode into the run fingerprint
+    from codetoneo4j_ray.pipelines.build_graph import corpus_content_bytes
+
+    # concrete mode into the run fingerprint (same byte-budget guardrail
+    # as build_graph — the stage-2 index is corpus-sized, not diff-sized)
+    mode = resolve_mode(mode, corpus_bytes=corpus_content_bytes(input_path))
     pkg_meta = None
     if packages_path is not None:
         from codetoneo4j_ray.stages.extract import load_pkg_meta

@@ -41,7 +41,7 @@ from codetoneo4j_ray.stages.materialize import (
 )
 from codetoneo4j_ray.state.manifest import corpus_fingerprint, stage_is_complete, write_manifest
 
-_KG_CONFIG = {"min_accessibility": "Private", "kg_cache_v": 16}
+_KG_CONFIG = {"min_accessibility": "Private", "kg_cache_v": 17}
 
 
 def kg_paths(sf_dir: str) -> dict[str, str]:
@@ -85,19 +85,25 @@ def ensure_kg(sf_dir: str) -> dict[str, str]:
     resolved.write_parquet(paths["mentions"])
 
     # namespace → tag side table so the oracle can join instead of
-    # reimplementing the PascalCase splitter in SQL
-    ns_rows = (
+    # reimplementing the PascalCase splitter in SQL. Dedup is distributed
+    # (per-batch Arrow unique, then Ray's aggregate-based ``unique``) so
+    # the driver only ever receives the distinct namespace set — never a
+    # corpus-sized column (this was the last driver-side structure on the
+    # kg path that grew with corpus size).
+    import pyarrow.compute as pc
+
+    def _ns_batch_distinct(batch: pa.Table) -> pa.Table:
+        col = pc.drop_null(batch.column("namespace").combine_chunks()).unique()
+        return pa.table({"namespace": col})
+
+    distinct_ns = (
         read_records(paths["records"], "symbol")
         .select_columns(["namespace"])
-        .take_all()
+        .map_batches(_ns_batch_distinct, batch_format="pyarrow")
+        .unique("namespace")
     )
-    seen: set[str] = set()
     ns_col, tag_col = [], []
-    for r in ns_rows:
-        ns = r["namespace"]
-        if ns is None or ns in seen or not ns.strip():
-            continue
-        seen.add(ns)
+    for ns in sorted(n for n in distinct_ns if n is not None and n.strip()):
         for tag in parse_namespace_tags(ns):
             ns_col.append(ns)
             tag_col.append(tag)

@@ -116,3 +116,40 @@ int get topGetter => 1;
     assert {"topSetter", "topGetter"} <= props
     assert not any(s["kind"] == "DartFunction" and s["name"] == "topSetter"
                    for s in ctx.symbols)
+
+
+def test_part_of_directive_emits_nothing():
+    # ADVICE r4: `part of my_lib;` must not become a typed top-level var
+    # (reference visitor has no PartOfDirective branch).
+    ctx = extract_file("myapp", "lib/src/p.dart", """part of my_lib;
+
+class Real {}
+""", "Private")
+    names = {s["name"] for s in ctx.symbols}
+    assert "my_lib" not in names and "of" not in names
+    assert "Real" in names
+    assert not any("of" == m["obj"].split(":")[-1] for m in ctx.mentions)
+
+
+def test_library_and_export_directives_emit_nothing():
+    ctx = extract_file("myapp", "lib/src/l.dart", """library my_lib;
+export 'src/other.dart';
+
+int kTop = 1;
+""", "Private")
+    names = {s["name"] for s in ctx.symbols}
+    assert names == {"kTop"} or "kTop" in names
+    assert "my_lib" not in names
+
+
+def test_multi_variable_toplevel_declaration():
+    # ADVICE r4: reference iterates node.variables.variables — one
+    # DartField per comma-separated variable.
+    ctx = extract_file("myapp", "lib/src/m.dart", """int x = 1, y = 2, z;
+const a = f(1, 2), b = [3, 4], c = 5;
+""", "Private")
+    fields = {s["name"] for s in ctx.symbols if s["kind"] == "DartField"}
+    assert {"x", "y", "z", "a", "b", "c"} <= fields
+    # typed decls: each variable gets the type DEPENDS_ON edge
+    dep_objs = [m["obj"] for m in ctx.mentions if m["pred"].endswith("DEPENDS_ON")]
+    assert sum(o.endswith(":class:int") for o in dep_objs) >= 3

@@ -459,3 +459,39 @@ def test_inverted_index_caps_postings(tmp_path):
     row = got[got["token"] == "common"].iloc[0]
     assert row["df"] == 10
     assert row["postings_csv"] == "0,1,2"
+
+
+def test_components_max_iters_is_exact():
+    # ADVICE r4: the budget is exact — max_iters below _CHAIN_CHECKPOINT
+    # must still be honored (a 3-node path needs 2 rounds + 1 quiet one)
+    import pytest as _pytest
+
+    from codetoneo4j_ray.pipelines.graph_ops import components_over
+
+    path3 = [("a", "b"), ("b", "c")]
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        components_over(_pairs_ds(path3), max_iters=1)
+    got = components_over(_pairs_ds(path3), max_iters=3).to_pandas()
+    assert set(got["comp"]) == {"a"}
+
+
+def test_bfs_depth_never_exceeds_max_iters():
+    # ADVICE r4: a chain whose max finite depth is max_iters+1 must
+    # RAISE at exactly max_iters — not converge at the next checkpoint
+    # and return depths the oracle's capped walk never generates.
+    # Chain depths 0..5; max_iters=4 is not a _CHAIN_CHECKPOINT multiple.
+    import pytest as _pytest
+
+    from codetoneo4j_ray.pipelines.graph_ops import bfs_depth_over
+
+    rows = [("n00", "HAS_FILE", "n01")] + [
+        (f"n{i:02d}", "INVOKES", f"n{i+1:02d}") for i in range(1, 5)
+    ]
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        bfs_depth_over(_edges_ds(rows), roots_pred="HAS_FILE", max_iters=4)
+    got = bfs_depth_over(
+        _edges_ds(rows), roots_pred="HAS_FILE", max_iters=6
+    ).to_pandas()
+    assert dict(zip(got["node"], got["depth"])) == {
+        f"n{i:02d}": i for i in range(6)
+    }
