@@ -146,6 +146,57 @@ def prebucketed_apply(
     return ds.groupby("__bucket").map_groups(apply, batch_format="pandas")
 
 
+@ray.remote
+def _is_some(x) -> bool:
+    return x is not None
+
+
+@ray.remote
+def _apply_bucket_pieces(fn, *pieces):
+    tabs = [t for t in pieces if t is not None and t.num_rows]
+    if not tabs:
+        return None
+    df = pa.concat_tables(tabs).to_pandas()
+    out = fn(df)
+    if not len(out):
+        # empty frames re-infer object columns as null-type through
+        # Arrow — drop the block instead of poisoning the union schema
+        return None
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def bucketed_apply_tasks(
+    ds: ray.data.Dataset,
+    key_cols: list[str],
+    bucket_fn,
+    num_buckets: int = DEFAULT_BUCKETS,
+) -> ray.data.Dataset:
+    """bucketed_apply via raw split tasks + one task per bucket instead
+    of a sort-based groupby exchange. Same exactness contract (every
+    row of a key lands in exactly one bucket, ``bucket_fn`` must not
+    depend on bucket identity); ``bucket_fn`` must be picklable
+    (module-level). Wins when the exchange is one-shot and the
+    group-by's sort/sample machinery would dominate — the linking
+    exchange, not iterative consumers (those pin a BucketStore and run
+    their own loops). Empty buckets produce no block."""
+    store = build_bucket_store(
+        add_bucket_column(ds, key_cols, num_buckets), None, num_buckets
+    )
+    refs = [
+        _apply_bucket_pieces.remote(bucket_fn, *store.pieces[k])
+        for k in range(num_buckets)
+    ]
+    # drop empty buckets WITHOUT fetching tables to the driver: the
+    # probe task runs next to each object and returns only a bool
+    flags = ray.get([_is_some.remote(r) for r in refs])
+    done = [r for r, ok in zip(refs, flags) if ok]
+    if not done:
+        import pandas as pd
+
+        return ray.data.from_pandas(pd.DataFrame())
+    return ray.data.from_arrow_refs(done)
+
+
 def sampled_range_bounds(
     ds: ray.data.Dataset,
     col: str,

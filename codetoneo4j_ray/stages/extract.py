@@ -19,6 +19,7 @@ Two passes, neither of which shuffles file content:
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import ray
 import ray.data
@@ -338,6 +339,7 @@ def extract_records_partitioned(
     num_buckets: int = 64,
     pkg_meta: dict | None = None,
     no_key: bool = False,
+    salt: int = 4,
 ) -> ray.data.Dataset:
     """Fully-partitioned stage 1: no driver-resident type index.
 
@@ -348,6 +350,13 @@ def extract_records_partitioned(
     node grows with corpus size — the multi-node configuration the
     broadcast index cannot provide (its dict grows with total declared
     types). The broadcast actor-pool path stays the single-node default.
+
+    ``salt`` sub-partitions each repo's corpus rows by path hash and
+    replicates the (metadata-sized) skim rows to every salted bucket of
+    their repo: extraction — the priciest Python stage — would
+    otherwise cap its parallelism at the repo count, with the largest
+    repo gating the whole pass. Exact: each file is extracted once, in
+    a bucket holding its repo's full type index.
     """
     import pandas as pd
 
@@ -356,6 +365,7 @@ def extract_records_partitioned(
     from codetoneo4j_ray.stages.bucketing import bucketed_apply
 
     pkg_ref = ray.put(pkg_meta) if pkg_meta is not None else None
+    salt = max(1, salt)
 
     # shared union schema: corpus columns + type-index columns + __side
     def corpus_side(batch: pa.Table) -> pa.Table:
@@ -366,7 +376,14 @@ def extract_records_partitioned(
         for fld in _TYPE_INDEX_SCHEMA:
             if fld.name not in cols:
                 cols[fld.name] = pa.nulls(n, fld.type)
-        return pa.table(cols)
+        t = pa.table(cols)
+        h = pd.util.hash_array(
+            np.asarray(batch["path"].to_pylist(), dtype=object),
+            categorize=False,
+        )
+        return t.append_column(
+            "__salt", pa.array((h % salt).astype("int32"), pa.int32())
+        )
 
     def index_side(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -376,7 +393,13 @@ def extract_records_partitioned(
         for name in ("path", "commit", "content"):
             if name not in cols:
                 cols[name] = pa.nulls(n, pa.string())
-        return pa.table(cols)
+        t = pa.table(cols)
+        # replicate skim rows into every salted bucket of their repo
+        reps = [
+            t.append_column("__salt", pa.array([k] * n, pa.int32()))
+            for k in range(salt)
+        ]
+        return pa.concat_tables(reps) if len(reps) > 1 else reps[0]
 
     idx_rows = corpus.map_batches(skim_batch, batch_format="pyarrow").map_batches(
         index_side, batch_format="pyarrow"
@@ -458,9 +481,9 @@ def extract_records_partitioned(
             cols[fld.name] = col
         return pa.table(cols, schema=RECORD_SCHEMA)
 
-    return bucketed_apply(both, ["repo"], extract_bucket, num_buckets).map_batches(
-        to_schema, batch_format="pyarrow"
-    )
+    return bucketed_apply(
+        both, ["repo", "__salt"], extract_bucket, num_buckets
+    ).map_batches(to_schema, batch_format="pyarrow")
 
 
 def load_pkg_meta(packages_path: str) -> dict:

@@ -580,6 +580,7 @@ def resolve_link_fused(
     raw_mentions: ray.data.Dataset,
     symbols: ray.data.Dataset,
     num_buckets: int = 64,
+    salt: int = 4,
 ) -> ray.data.Dataset:
     """Fully-partitioned stage 2 for edges in ONE exchange.
 
@@ -588,10 +589,18 @@ def resolve_link_fused(
     bucket resolves deferred INVOKES and endpoint-checks both ends
     against its repos' key sets with zero driver state and zero further
     exchanges (see _bucket_resolve_and_filter for why repo-local checks
-    are exact). Output is (subj, pred, obj) with per-repo distinct
+    are exact). Output is (subj, pred, obj) with per-bucket distinct
     applied; callers fuse the global distinct + sort into one exchange
     via canonicalize.distinct_sorted.
-    """
+
+    ``salt`` sub-partitions each repo's mention rows into ``salt``
+    buckets by subj hash, REPLICATING the (index-sized) key/member/base
+    side rows into every salted bucket of their repo — a corpus of few
+    large repos would otherwise cap reduce parallelism at the repo
+    count while each bucket runs the Python resolution loop serially.
+    Exact by construction: every salted bucket sees its repo's full
+    index + key set, resolution is per-row, and duplicate triples share
+    a subj (same salt) so the local distinct still combines them."""
     from codetoneo4j_ray.stages.bucketing import bucketed_apply
 
     cols = ["subj", "pred", "obj", "repo", "ctx_kind", "ctx_name",
@@ -617,5 +626,44 @@ def resolve_link_fused(
             keys_as_rows, batch_format="pyarrow"
         )
     )
-    return bucketed_apply(e1_in, ["repo"], _bucket_resolve_and_filter,
-                          num_buckets)
+    if salt <= 1:
+        return bucketed_apply(e1_in, ["repo"], _bucket_resolve_and_filter,
+                              num_buckets)
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        import pandas as pd
+
+        # keep the Arrow schema explicit: a pandas round-trip re-infers
+        # all-null columns as null-type and int32 NaNs as double, which
+        # breaks the per-bucket concat
+        schema = batch.schema.append(pa.field("__salt", pa.int32()))
+        df = batch.to_pandas()
+        if not len(df):
+            df["__salt"] = pd.Series([], dtype="int32")
+            return pa.Table.from_pandas(df, schema=schema,
+                                        preserve_index=False)
+        side = df["pred"].isin((_KEY_PRED, MEMBER_PRED, BASE_PRED)).to_numpy()
+        m = df.loc[~side].copy()
+        h = pd.util.hash_array(
+            m["subj"].to_numpy(dtype=object), categorize=False
+        )
+        m["__salt"] = (h % salt).astype("int32")
+        parts = [m]
+        sd = df.loc[side]
+        for k in range(salt):
+            r = sd.copy()
+            r["__salt"] = np.int32(k)
+            parts.append(r)
+        return pa.Table.from_pandas(
+            pd.concat(parts, ignore_index=True), schema=schema,
+            preserve_index=False,
+        )
+
+    from codetoneo4j_ray.stages.bucketing import bucketed_apply_tasks
+
+    salted = e1_in.map_batches(add_salt, batch_format="pyarrow")
+    # raw split-tasks + one resolve task per bucket: the one-shot
+    # linking exchange skips the groupby's sort/sample machinery
+    return bucketed_apply_tasks(salted, ["repo", "__salt"],
+                                _bucket_resolve_and_filter, num_buckets)
