@@ -208,22 +208,23 @@ def measure_env_ceiling(lo: int = 8, hi: int = 32) -> float:
 
 
 def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
-    """Same job, two parallelism levels, fresh processes.
+    """Same job, two parallelism levels, fresh processes, INTERLEAVED
+    lo/hi/lo/hi so a drifting host prices both CPU levels equally
+    (VERDICT r4 item 5): with monotone drift, each level's pair
+    brackets the other's, and the per-level means cancel the drift to
+    first order — no clean host window required.
 
     Defaults to a 4x corpus (sf0.2-scale) unless GRAFT_SCALING_SF_DIR is
     set: at the default bench scale the synthetic files are tiny and
     Ray's exchange latency dominates; the larger input runs the pipeline
     in the bandwidth-bound regime it is designed for.
 
-    Each CPU-level phase is SANDWICHED between two host-speed probes
-    (same pure-CPU burn, same proc count as the phase), and the ceiling
-    is computed from the phase-adjacent probe means — so a slow VM
-    window during one phase lowers that phase's probe too instead of
-    mispricing the whole run (a single post-hoc probe did exactly that
-    in round 2). ``probe_drift_N`` = after/before per phase; a drift far
-    from 1.0 flags intra-phase host-speed movement."""
+    Every phase is still SANDWICHED between two host-speed probes (same
+    pure-CPU burn, same proc count as the phase); the ceiling comes
+    from per-level probe means, so VM slowdown during one phase lowers
+    that phase's probe too instead of mispricing the whole run."""
     sf_dir = os.environ.get("GRAFT_SCALING_SF_DIR", "/root/testdata/sf0.2")
-    # pre-generate the corpus once so both runs read identical input
+    # pre-generate the corpus once so all runs read identical input
     from codetoneo4j_ray.sources.synth import ensure_corpus
 
     ensure_corpus(sf_dir)
@@ -245,9 +246,18 @@ def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
         drift = probe_after / probe_before
         return json.loads(out.strip().splitlines()[-1]), burn, drift
 
-    (r_lo, burn_lo, drift_lo), (r_hi, burn_hi, drift_hi) = one(lo), one(hi)
-    t_lo = r_lo["queries"]["kg_build"]
-    t_hi = r_hi["queries"]["kg_build"]
+    phases: dict[int, list[tuple[dict, float, float]]] = {lo: [], hi: []}
+    for ncpu in (lo, hi, lo, hi):
+        phases[ncpu].append(one(ncpu))
+
+    def mean(xs):
+        return sum(xs) / len(xs)
+
+    t_lo_runs = [r["queries"]["kg_build"] for r, _b, _d in phases[lo]]
+    t_hi_runs = [r["queries"]["kg_build"] for r, _b, _d in phases[hi]]
+    burn_lo = mean([b for _r, b, _d in phases[lo]])
+    burn_hi = mean([b for _r, b, _d in phases[hi]])
+    t_lo, t_hi = mean(t_lo_runs), mean(t_hi_runs)
     eff = (t_lo / t_hi) / (hi / lo)
     # phase-paired ceiling: lo-phase host speed over hi-phase host speed
     ceiling = round((burn_lo / burn_hi) / (hi / lo), 3)
@@ -255,16 +265,23 @@ def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
         "metric": "kg_build scaling efficiency",
         "mode": os.environ.get("GRAFT_KG_MODE", "partitioned"),
         "sf": sf_dir,
-        f"sec_{lo}": t_lo,
-        f"sec_{hi}": t_hi,
-        f"files_per_sec_{lo}": r_lo["kg_files_per_sec"],
-        f"files_per_sec_{hi}": r_hi["kg_files_per_sec"],
-        f"stage1_sec_{lo}": r_lo["queries"].get("kg_stage1"),
-        f"stage1_sec_{hi}": r_hi["queries"].get("kg_stage1"),
+        "interleave": f"{lo}/{hi}/{lo}/{hi}",
+        f"sec_{lo}": round(t_lo, 3),
+        f"sec_{hi}": round(t_hi, 3),
+        f"sec_{lo}_runs": t_lo_runs,
+        f"sec_{hi}_runs": t_hi_runs,
+        f"files_per_sec_{lo}": round(mean(
+            [r["kg_files_per_sec"] for r, _b, _d in phases[lo]]), 1),
+        f"files_per_sec_{hi}": round(mean(
+            [r["kg_files_per_sec"] for r, _b, _d in phases[hi]]), 1),
+        f"stage1_sec_{lo}": [r["queries"].get("kg_stage1")
+                             for r, _b, _d in phases[lo]],
+        f"stage1_sec_{hi}": [r["queries"].get("kg_stage1")
+                             for r, _b, _d in phases[hi]],
         f"burn_sec_{lo}": round(burn_lo, 3),
         f"burn_sec_{hi}": round(burn_hi, 3),
-        f"probe_drift_{lo}": round(drift_lo, 3),
-        f"probe_drift_{hi}": round(drift_hi, 3),
+        f"probe_drift_{lo}": [round(d, 3) for _r, _b, d in phases[lo]],
+        f"probe_drift_{hi}": [round(d, 3) for _r, _b, d in phases[hi]],
         "speedup": round(t_lo / t_hi, 3),
         "scaling_efficiency": round(eff, 3),
         "env_parallel_ceiling": ceiling,

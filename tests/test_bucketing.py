@@ -217,3 +217,50 @@ def test_bucket_store_consolidates_multi_block_input(ray_session):
     # content unchanged by consolidation: every input row in exactly one bucket
     total = sum(len(BucketCache(store).bucket_df(k)) for k in range(K))
     assert total == 300
+
+
+def test_bucketed_apply_tasks_matches_groupby_path(ray_session):
+    """The raw-task bucketed apply (split tasks + one task per bucket)
+    must produce the same multiset of rows as the groupby-based
+    bucketed_apply for a key-preserving aggregate."""
+    import ray.data
+
+    from codetoneo4j_ray.stages.bucketing import (
+        bucketed_apply,
+        bucketed_apply_tasks,
+    )
+
+    def _count_per_key(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("key", as_index=False).agg(n=("v", "sum"))
+
+    df = pd.DataFrame(
+        {"key": [f"k{i % 17}" for i in range(400)], "v": range(400)}
+    )
+    ds = ray.data.from_pandas([df.iloc[:150], df.iloc[150:]])
+    a = (
+        bucketed_apply(ds, ["key"], _count_per_key, K)
+        .to_pandas().sort_values("key").reset_index(drop=True)
+    )
+    ds2 = ray.data.from_pandas([df.iloc[:150], df.iloc[150:]])
+    b = (
+        bucketed_apply_tasks(ds2, ["key"], _count_per_key, K)
+        .to_pandas().sort_values("key").reset_index(drop=True)
+    )
+    assert a.equals(b)
+    assert len(a) == 17
+
+
+def test_bucketed_apply_tasks_empty_input(ray_session):
+    import ray.data
+
+    from codetoneo4j_ray.stages.bucketing import bucketed_apply_tasks
+
+    def _count_per_key(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("key", as_index=False).agg(n=("v", "sum"))
+
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"key": pd.Series([], dtype=str),
+                      "v": pd.Series([], dtype="int64")})
+    )
+    out = bucketed_apply_tasks(ds, ["key"], _count_per_key, K)
+    assert out.count() == 0
