@@ -42,12 +42,20 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
 
     from codetoneo4j_ray.pipelines import data_ops, multimodal
     from codetoneo4j_ray.pipelines.build_graph import build_graph
-    from codetoneo4j_ray.sources.synth import corpus_dir_for_sf, ensure_corpus
+    from codetoneo4j_ray.sources.synth import (
+        corpus_dir_for_sf,
+        ensure_corpus,
+        ensure_packages,
+    )
 
     # pre-generate + warm the page cache and the Ray worker pool (untimed):
     # worker-process import costs are identical at every parallelism level
     # and would otherwise swamp the scaling signal at bench scale
     corpus_path = ensure_corpus(sf_dir)
+    # package-metadata side table: the gate's kg path passes it
+    # (ensure_kg), so the bench flagship must too — without it the
+    # url records (dep HAS_URL url) are silently absent
+    packages_path = ensure_packages(sf_dir)
     with open(corpus_path, "rb") as f:
         while f.read(1 << 24):
             pass
@@ -68,6 +76,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     mode = os.environ.get("GRAFT_KG_MODE", "broadcast")
     t0 = time.perf_counter()
     metrics = build_graph(corpus_path, out_dir, resume=False, mode=mode,
+                          packages_path=packages_path,
                           concurrency=(max(1, num_cpus // 2), num_cpus))
     timings["kg_build"] = round(time.perf_counter() - t0, 3)
     extras["kg_nodes"] = metrics["nodes"]
@@ -89,7 +98,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         shutil.rmtree(out_dir_p, ignore_errors=True)
         t0 = time.perf_counter()
         m2 = build_graph(corpus_path, out_dir_p, resume=False,
-                         mode="partitioned",
+                         mode="partitioned", packages_path=packages_path,
                          concurrency=(max(1, num_cpus // 2), num_cpus))
         timings["kg_build_partitioned"] = round(time.perf_counter() - t0, 3)
         extras["kg_files_per_sec_partitioned"] = round(

@@ -12,9 +12,11 @@ exact + near dups), then runs
   * the iterative graph ops (pagerank + components) over the 10x KG,
     recording rounds-to-fixpoint at the larger diameter;
 
-while a sampler thread tracks peak object-store usage and peak total
-RSS of the Ray worker tree — the judge's question is whether anything
-degrades superlinearly or memory grows past a worker heap at 10x.
+while a sampler thread tracks peak object-store usage and peak summed
+PRIVATE RSS (resident minus shared, so the plasma /dev/shm mapping is
+not re-counted per worker) of the Ray worker tree — the judge's
+question is whether anything degrades superlinearly or memory grows
+past a worker heap at 10x.
 
     python tools/rehearsal.py          # JSON line at the end
 """
@@ -60,7 +62,12 @@ class PeakSampler(threading.Thread):
                     if (b"ray::" in cmd or b"raylet" in cmd
                             or b"default_worker" in cmd):
                         with open(f"/proc/{pid}/statm") as f:
-                            rss += int(f.read().split()[1]) * 4096
+                            parts = f.read().split()
+                        # private RSS = resident - shared: the plasma
+                        # store's /dev/shm mapping is resident in every
+                        # worker, so summing raw VmRSS counts the same
+                        # object-store gigabytes once per worker
+                        rss += (int(parts[1]) - int(parts[2])) * 4096
                 except Exception:  # noqa: BLE001
                     continue
             self.peak_rss = max(self.peak_rss, rss)
@@ -152,7 +159,11 @@ def main() -> int:
         kg_components,
         kg_pagerank,
     )
-    from codetoneo4j_ray.sources.synth import corpus_dir_for_sf, ensure_corpus
+    from codetoneo4j_ray.sources.synth import (
+        corpus_dir_for_sf,
+        ensure_corpus,
+        ensure_packages,
+    )
 
     sampler = PeakSampler()
     sampler.start()
@@ -169,6 +180,7 @@ def main() -> int:
         shutil.rmtree(od, ignore_errors=True)
         t0 = time.perf_counter()
         m = build_graph(corpus, od, resume=False, mode=mode,
+                        packages_path=ensure_packages(REHEARSAL_SF),
                         concurrency=(16, 32))
         timings[f"kg_build_{mode}"] = round(time.perf_counter() - t0, 1)
         out[f"files_per_sec_{mode}"] = round(
@@ -202,7 +214,7 @@ def main() -> int:
     sampler.join(2)
     out["queries"] = timings
     out["peak_object_store_gb"] = round(sampler.peak_obj / 1e9, 2)
-    out["peak_worker_rss_gb"] = round(sampler.peak_rss / 1e9, 2)
+    out["peak_worker_private_rss_gb"] = round(sampler.peak_rss / 1e9, 2)
     print(json.dumps(out))
     ray.shutdown()
     return 0
