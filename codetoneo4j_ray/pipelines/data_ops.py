@@ -18,7 +18,10 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from codetoneo4j_ray.stages.bucketing import bucketed_apply
+from codetoneo4j_ray.stages.bucketing import (
+    bucketed_apply,
+    bucketed_apply_tasks,
+)
 from codetoneo4j_ray.stages.link import _cached_get
 
 
@@ -55,7 +58,7 @@ def doc_dedup_exact(sf_dir: str) -> ray.data.Dataset:
         )
 
     return (
-        bucketed_apply(
+        bucketed_apply_tasks(
             _docs(sf_dir, ["doc_id", "text"]).map_batches(
                 combine, batch_format="pyarrow"
             ),
@@ -157,9 +160,18 @@ def _minhash_sig(sh: set[int]) -> np.ndarray:
     return vals.min(axis=1)
 
 
-def doc_dedup_minhash(sf_dir: str, jaccard_threshold: float = 0.8) -> ray.data.Dataset:
+def doc_dedup_minhash(
+    sf_dir: str, jaccard_threshold: float = 0.8, _apply=None
+) -> ray.data.Dataset:
     """Near-duplicate pairs (a < b) with band-LSH candidates verified by
     exact shingle Jaccard. Returns (doc_a, doc_b).
+
+    The three bucketed exchanges (band→candidates, attach_a, verify_b)
+    are one-shot, so they run as raw split+per-bucket tasks
+    (:func:`bucketed_apply_tasks`) rather than sort-based groupbys —
+    the same exactness contract, minus the sort/sample machinery whose
+    fixed latency dominated this op (tests pin equivalence to the
+    groupby path via ``_apply=bucketed_apply``).
 
     The shingle hash (md5-derived), permutation mixing (mod-2^64
     xor-multiply) and band buckets (a position-salted multiply-sum fold
@@ -186,6 +198,8 @@ def doc_dedup_minhash(sf_dir: str, jaccard_threshold: float = 0.8) -> ray.data.D
     attach_a -> verify_b -> sort. Distinct-but-near-identical floods
     still cost O(pairs) — the size of the required output."""
 
+    if _apply is None:
+        _apply = bucketed_apply_tasks
     rows_per_band = _MINHASH_PERMS // _LSH_BANDS
 
     def to_bands(batch: pa.Table) -> pa.Table:
@@ -263,7 +277,7 @@ def doc_dedup_minhash(sf_dir: str, jaccard_threshold: float = 0.8) -> ray.data.D
             }
         )
 
-    cand = bucketed_apply(
+    cand = _apply(
         _docs(sf_dir, ["doc_id", "text"]).map_batches(
             to_bands, batch_format="pyarrow"
         ),
@@ -406,13 +420,13 @@ def doc_dedup_minhash(sf_dir: str, jaccard_threshold: float = 0.8) -> ray.data.D
             )
         return pa.table(cols, schema=_JOIN_SCHEMA)
 
-    pass_a = bucketed_apply(
+    pass_a = _apply(
         cand.map_batches(norm, batch_format="pyarrow")
         .union(shingles_ds.map_batches(norm, batch_format="pyarrow")),
         ["key"],
         attach_a,
     )
-    verified = bucketed_apply(
+    verified = _apply(
         pass_a.map_batches(norm, batch_format="pyarrow")
         .union(shingles_ds.map_batches(norm, batch_format="pyarrow")),
         ["key"],
@@ -991,7 +1005,7 @@ def doc_ngram_jaccard(sf_dir: str, threshold: float = 0.5) -> ray.data.Dataset:
     banded = _docs(sf_dir, ["doc_id", "text", "source"]).map_batches(
         to_bands, batch_format="pyarrow"
     )
-    return bucketed_apply(banded, ["source", "bucket"], pairs).sort(
+    return bucketed_apply_tasks(banded, ["source", "bucket"], pairs).sort(
         ["doc_a", "doc_b"]
     )
 
@@ -1300,10 +1314,10 @@ def embedding_near_dup(
         return pa.table(cols)
 
     cells = _emb(sf_dir).map_batches(assign_cells, batch_format="pyarrow")
-    pairs = bucketed_apply(cells, ["cell"], cell_pairs)
+    pairs = bucketed_apply_tasks(cells, ["cell"], cell_pairs)
     # a pair found in both of its shared cells appears twice → distinct
     return (
-        bucketed_apply(pairs, ["vec_a", "vec_b"],
+        bucketed_apply_tasks(pairs, ["vec_a", "vec_b"],
                        lambda df: df.drop_duplicates())
         .map_batches(norm_pairs, batch_format="pyarrow")
         .sort(["vec_a", "vec_b"])
@@ -1518,7 +1532,7 @@ def top_tokens(sf_dir: str, k: int = 50) -> ray.data.Dataset:
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby("token", as_index=False).agg(n=("n", "sum"))
 
-    merged = bucketed_apply(
+    merged = bucketed_apply_tasks(
         _docs(sf_dir, ["text"]).map_batches(partial, batch_format="pyarrow"),
         ["token"],
         merge,
@@ -1539,7 +1553,7 @@ def top_tokens(sf_dir: str, k: int = 50) -> ray.data.Dataset:
         df["rank"] = df.index + 1
         return df[["rank", "token", "n"]]
 
-    return bucketed_apply(
+    return bucketed_apply_tasks(
         merged.map_batches(localtop, batch_format="pyarrow"),
         [],
         final,
@@ -1599,7 +1613,7 @@ def inverted_index(
     parts = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         pairs, batch_format="pyarrow"
     )
-    return bucketed_apply(parts, ["token"], merge).sort("token")
+    return bucketed_apply_tasks(parts, ["token"], merge).sort("token")
 
 
 def inverted_index_oracle_sql(max_postings: int = _INDEX_MAX_POSTINGS) -> str:
@@ -1671,7 +1685,7 @@ def tfidf_topk(sf_dir: str, k: int = _TFIDF_K) -> ray.data.Dataset:
         df["score"] = (df["tf"].astype("int64") * n_docs) // df["df"]
         return df[["doc_id", "token", "tf", "df", "score"]]
 
-    with_df = bucketed_apply(
+    with_df = bucketed_apply_tasks(
         docs.map_batches(tf_pairs, batch_format="pyarrow"),
         ["token"],
         attach_df,
@@ -1686,7 +1700,7 @@ def tfidf_topk(sf_dir: str, k: int = _TFIDF_K) -> ray.data.Dataset:
         df = df[df.groupby("doc_id").cumcount() < k]
         return df[["doc_id", "token", "tf", "df", "score"]]
 
-    return bucketed_apply(with_df, ["doc_id"], topk).sort(["doc_id", "token"])
+    return bucketed_apply_tasks(with_df, ["doc_id"], topk).sort(["doc_id", "token"])
 
 
 def tfidf_topk_oracle_sql(k: int = _TFIDF_K) -> str:
@@ -2043,7 +2057,7 @@ def group_quota(sf_dir: str, quota: int = 40) -> ray.data.Dataset:
         df["rank"] = (df.groupby("lang").cumcount() + 1).astype("int64")
         return df[["lang", "rank", "doc_id", "n_chars"]]
 
-    return bucketed_apply(
+    return bucketed_apply_tasks(
         _docs(sf_dir, ["doc_id", "lang", "n_chars"]).map_batches(
             partial, batch_format="pyarrow"
         ),
@@ -2127,7 +2141,7 @@ def doc_pack(sf_dir: str, capacity: int = _PACK_CAPACITY) -> ray.data.Dataset:
         out["pack_id"] = (out["cum_before"] // capacity).astype("int64")
         return out
 
-    return bucketed_apply(with_r, ["lang", "r"], pack).sort(
+    return bucketed_apply_tasks(with_r, ["lang", "r"], pack).sort(
         ["lang", "doc_id"]
     )
 
@@ -2214,7 +2228,7 @@ def events_tumbling(sf_dir: str) -> ray.data.Dataset:
         )
 
     return (
-        bucketed_apply(
+        bucketed_apply_tasks(
             ray.data.read_parquet(
                 f"{sf_dir}/events.parquet",
                 columns=["event_id", "ts", "user_id", "value"],
@@ -2264,7 +2278,7 @@ def events_hopping(
         )
 
     return (
-        bucketed_apply(
+        bucketed_apply_tasks(
             ray.data.read_parquet(
                 f"{sf_dir}/events.parquet",
                 columns=["ts", "user_id", "value"],
@@ -2309,7 +2323,7 @@ def events_sessionize(sf_dir: str, gap_sec: int = 1800) -> ray.data.Dataset:
         return g
 
     return (
-        bucketed_apply(
+        bucketed_apply_tasks(
             ray.data.read_parquet(
                 f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
             ).map_batches(to_secs, batch_format="pyarrow"),
@@ -2364,7 +2378,7 @@ def events_asof_join(sf_dir: str, ref_type: str = "signup") -> ray.data.Dataset:
         return out
 
     return (
-        bucketed_apply(
+        bucketed_apply_tasks(
             ray.data.read_parquet(
                 f"{sf_dir}/events.parquet",
                 columns=["event_id", "ts", "user_id", "event_type"],
@@ -2446,7 +2460,7 @@ def top_orders(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
     ).map_batches(orders_key_side, batch_format="pyarrow")
-    seg_order_stream = bucketed_apply(
+    seg_order_stream = bucketed_apply_tasks(
         cust.union(order_keys), ["custkey"], seg_orders
     )
 
@@ -2512,8 +2526,8 @@ def top_orders(
         )
         return topk(out)
 
-    joined = bucketed_apply(orders.union(items), ["orderkey"], join_bucket)
-    return bucketed_apply(joined, [], topk).sort("o_orderkey")
+    joined = bucketed_apply_tasks(orders.union(items), ["orderkey"], join_bucket)
+    return bucketed_apply_tasks(joined, [], topk).sort("o_orderkey")
 
 
 def revenue_by_nation(sf_dir: str) -> ray.data.Dataset:
@@ -2573,7 +2587,7 @@ def revenue_by_nation(sf_dir: str) -> ray.data.Dataset:
     orders_keys = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
     ).map_batches(orders_key_side, batch_format="pyarrow")
-    order_nation = bucketed_apply(
+    order_nation = bucketed_apply_tasks(
         cust.union(orders_keys), ["custkey"], attach_nation
     )
 
@@ -2638,8 +2652,8 @@ def revenue_by_nation(sf_dir: str) -> ray.data.Dataset:
         g["n_items"] = g["n_items"].astype("int64")
         return g
 
-    partial = bucketed_apply(orders.union(items), ["orderkey"], join_bucket)
-    return bucketed_apply(partial, ["n_name"], merge).sort("n_name")
+    partial = bucketed_apply_tasks(orders.union(items), ["orderkey"], join_bucket)
+    return bucketed_apply_tasks(partial, ["n_name"], merge).sort("n_name")
 
 
 def orders_running_total(sf_dir: str) -> ray.data.Dataset:
@@ -2671,7 +2685,7 @@ def orders_running_total(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    return bucketed_apply(
+    return bucketed_apply_tasks(
         ray.data.read_parquet(
             f"{sf_dir}/orders.parquet",
             columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"],
@@ -2720,7 +2734,7 @@ def price_quantiles(sf_dir: str) -> ray.data.Dataset:
         g["cnt"] = g["cnt"].astype("int64")
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    hist = bucketed_apply(
+    hist = bucketed_apply_tasks(
         ray.data.read_parquet(
             f"{sf_dir}/lineitem.parquet",
             columns=["l_returnflag", "l_linestatus", "l_extendedprice"],
@@ -2745,7 +2759,7 @@ def price_quantiles(sf_dir: str) -> ray.data.Dataset:
             rows.append(row)
         return pd.DataFrame(rows)
 
-    return bucketed_apply(
+    return bucketed_apply_tasks(
         hist, ["l_returnflag", "l_linestatus"], quantiles
     ).sort(["l_returnflag", "l_linestatus"])
 

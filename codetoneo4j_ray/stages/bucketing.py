@@ -296,9 +296,13 @@ def _split_block(block, num_buckets: int):
     else:
         table = block
     if table.num_rows == 0 or "__bucket" not in table.column_names:
-        return tuple([None] * num_buckets)
+        # num_returns=1 makes the whole return value ONE object — a
+        # 1-tuple would reach consumers ununwrapped
+        return None if num_buckets == 1 else tuple([None] * num_buckets)
     ids = table["__bucket"].to_numpy(zero_copy_only=False)
     body = table.drop_columns(["__bucket"])
+    if num_buckets == 1:
+        return body
     out = []
     for k in range(num_buckets):
         mask = ids == k
@@ -357,6 +361,9 @@ def build_bucket_store(
     ]
     split = _split_block.options(num_returns=num_buckets)
     per_block = [split.remote(r, num_buckets) for r in block_refs]
+    if num_buckets == 1:
+        # num_returns=1 yields a bare ObjectRef, not a 1-list
+        per_block = [[r] for r in per_block]
     pieces = [[pb[k] for pb in per_block] for k in range(num_buckets)]
     if len(per_block) > 1:
         pieces = [[_concat_pieces.remote(*p)] for p in pieces]

@@ -264,3 +264,21 @@ def test_bucketed_apply_tasks_empty_input(ray_session):
     )
     out = bucketed_apply_tasks(ds, ["key"], _count_per_key, K)
     assert out.count() == 0
+
+
+def test_bucketed_apply_tasks_single_bucket(ray_session):
+    """num_buckets=1 regression: Ray's num_returns=1 yields a bare
+    ObjectRef whose value is the whole return — the split task must
+    return the piece itself, not a 1-tuple."""
+    import ray.data
+
+    from codetoneo4j_ray.stages.bucketing import bucketed_apply_tasks
+
+    def _total(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"n": [int(df["v"].sum())]})
+
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"key": ["a", "b", "a"], "v": [1, 2, 3]})
+    )
+    out = bucketed_apply_tasks(ds, [], _total, num_buckets=1).to_pandas()
+    assert out["n"].tolist() == [6]
