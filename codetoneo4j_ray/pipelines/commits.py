@@ -30,7 +30,7 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
-from codetoneo4j_ray.stages.bucketing import bucketed_apply
+from codetoneo4j_ray.stages.bucketing import bucketed_apply, bucketed_apply_tasks
 
 COMMITTED = "src__COMMITTED"
 PART_OF_PROJECT = "src__PART_OF_PROJECT"
@@ -70,7 +70,7 @@ def commit_nodes(commits: ray.data.Dataset) -> ray.data.Dataset:
         return df.drop_duplicates(subset=["hash"], keep="last")
 
     return (
-        bucketed_apply(
+        bucketed_apply_tasks(
             commits.map_batches(local, batch_format="pyarrow"), ["hash"], merge
         )
         .select_columns(["hash", "repo", "author", "email", "date_sec", "message"])
@@ -115,7 +115,7 @@ def commit_edges(commits: ray.data.Dataset) -> ray.data.Dataset:
         return pa.Table.from_pandas(df, preserve_index=False)
 
     return (
-        bucketed_apply(
+        bucketed_apply_tasks(
             commits.map_batches(explode, batch_format="pyarrow")
             .map_batches(local, batch_format="pyarrow"),
             ["subj", "pred", "obj"],
@@ -153,7 +153,7 @@ def authored_stats(commits: ray.data.Dataset) -> ray.data.Dataset:
         )
 
     return (
-        bucketed_apply(
+        bucketed_apply_tasks(
             commits.map_batches(partial, batch_format="pyarrow"),
             ["author", "path"],
             merge,
@@ -221,7 +221,7 @@ def file_versions(commits: ray.data.Dataset) -> ray.data.Dataset:
         )
 
     return (
-        bucketed_apply(
+        bucketed_apply_tasks(
             commits.map_batches(partial, batch_format="pyarrow"),
             ["repo", "path"],
             merge,
@@ -300,7 +300,7 @@ def attach_file_versions(
         return out.append_column("tags", split("tags_csv"))
 
     return (
-        bucketed_apply(both, ["repo", "path"], join_bucket)
+        bucketed_apply_tasks(both, ["repo", "path"], join_bucket)
         .map_batches(to_lists, batch_format="pyarrow")
         .sort("key")
     )
@@ -332,7 +332,7 @@ def file_history(commits: ray.data.Dataset) -> ray.data.Dataset:
         )
 
     return (
-        bucketed_apply(
+        bucketed_apply_tasks(
             commits.map_batches(partial, batch_format="pyarrow"),
             ["repo", "path"],
             merge,

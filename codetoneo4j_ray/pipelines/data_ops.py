@@ -528,93 +528,38 @@ def dup_clusters(
     every doc that appears in at least one near-dup pair, where
     cluster_rep = min doc_id of its component.
 
-    Distributed min-label propagation, ONE bucketed exchange per round:
-    (directed edges ∪ label-candidate rows) co-partition on the source
-    node; inside each bucket we take the per-node min over candidates
-    (self-seeding from edge keys, so no separate init pass), emit that
-    as the node's own label AND push it across the node's out-edges as
-    next-round candidates. Labels only ever decrease, so the sum of
-    own-labels is a monotone convergence witness (unchanged sum ⟺
-    fixpoint) — a one-row aggregate, no old-vs-new join. Rounds needed
-    = component diameter; the upstream sorted-prefix pair emission
-    makes flood components stars around their min doc, so real corpora
-    converge in ~3 rounds. Per-round state is bounded by the pair
-    graph (≤ 2 rows/pair own + 2 rows/pair pushed), never the corpus."""
+    Runs on graph_ops' pinned-BucketStore label loop
+    (components_over_int): the symmetric pair adjacency is exchanged
+    ONCE and pinned (int64 doc ids ride directly — no string-id encode),
+    then each min-label round is one raw task per bucket exchanging only
+    8-byte (node, label) rows, with pointer-jumping at checkpoints, until
+    the frontier empties. Per-round traffic is bounded by the pair graph,
+    never the corpus; convergence is exact (raise past max_iters rather
+    than returning partial labels — the oracle is a true transitive
+    closure)."""
+    from codetoneo4j_ray.pipelines.graph_ops import components_over_int
+
     pairs = doc_dedup_minhash(sf_dir, jaccard_threshold).materialize()
     if pairs.count() == 0:
         return pairs  # empty: driver tolerates schemaless empty results
 
-    def explode(batch: pa.Table) -> pa.Table:
-        a = batch["doc_a"].to_numpy(zero_copy_only=False)
-        b = batch["doc_b"].to_numpy(zero_copy_only=False)
-        n2 = 2 * batch.num_rows
-        return pa.table(
-            {
-                "key": pa.array(np.concatenate([a, b]), pa.int64()),
-                "v": pa.array(np.concatenate([b, a]), pa.int64()),
-                "label": pa.array(np.full(n2, -1, np.int64)),
-                "is_edge": pa.array(np.ones(n2, np.int32)),
-                "is_own": pa.array(np.zeros(n2, np.int32)),
-            }
-        )
-
-    edges = pairs.map_batches(explode, batch_format="pyarrow").materialize()
-
-    def step(df: pd.DataFrame) -> pd.DataFrame:
-        ed = df[df["is_edge"] == 1][["key", "v"]]
-        cand = df[df["is_edge"] == 0][["key", "label"]]
-        seeds = pd.DataFrame({"key": ed["key"].drop_duplicates()})
-        seeds["label"] = seeds["key"]
-        lab = (
-            pd.concat([cand, seeds], ignore_index=True)
-            .groupby("key", as_index=False)["label"]
-            .min()
-        )
-        own = lab.copy()
-        own["is_own"] = np.int32(1)
-        pushed = ed.merge(lab, on="key", how="inner")[["v", "label"]]
-        pushed = pushed.rename(columns={"v": "key"})
-        pushed["is_own"] = np.int32(0)
-        out = pd.concat([own, pushed], ignore_index=True)
-        out["v"] = np.int64(-1)
-        out["is_edge"] = np.int32(0)
-        return out[["key", "v", "label", "is_edge", "is_own"]]
-
-    def own_sum(ds: ray.data.Dataset) -> int:
-        only_own = ds.map_batches(
-            lambda t: t.filter(pc.equal(t["is_own"], 1)),
-            batch_format="pyarrow",
-        )
-        return int(only_own.sum("label"))
-
-    state = bucketed_apply(edges, ["key"], step).materialize()
-    prev_sum = own_sum(state)
-    converged = False
-    for _ in range(max_iters):
-        state = bucketed_apply(edges.union(state), ["key"], step).materialize()
-        cur_sum = own_sum(state)
-        if cur_sum == prev_sum:
-            converged = True
-            break
-        prev_sum = cur_sum
-    if not converged:
-        # never return partial labels as if they were components — the
-        # oracle is a true transitive closure (see dup_clusters_oracle_sql)
-        raise RuntimeError(
-            f"dup_clusters did not converge within {max_iters} label "
-            "rounds; raise max_iters"
-        )
+    comp = components_over_int(
+        pairs,
+        max_iters=max_iters,
+        src="doc_a",
+        dst="doc_b",
+        op_name="dup_clusters",
+    )
 
     def finish(batch: pa.Table) -> pa.Table:
-        t = batch.filter(pc.equal(batch["is_own"], 1))
         return pa.table(
             {
-                "doc_id": pc.cast(t["key"], pa.int64()),
-                "cluster_rep": pc.cast(t["label"], pa.int64()),
+                "doc_id": pc.cast(batch["node"], pa.int64()),
+                "cluster_rep": pc.cast(batch["comp"], pa.int64()),
             }
         )
 
-    return state.map_batches(finish, batch_format="pyarrow").sort("doc_id")
+    return comp.map_batches(finish, batch_format="pyarrow").sort("doc_id")
 
 
 def dup_clusters_oracle_sql(jaccard_threshold: float = 0.8) -> str:

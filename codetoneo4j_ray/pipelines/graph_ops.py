@@ -67,6 +67,7 @@ import ray.data
 from codetoneo4j_ray.stages.bucketing import (
     build_bucket_store,
     bucketed_apply,
+    bucketed_apply_tasks,
     hash_bucket_series,
     prebucketed_apply,
     process_cache,
@@ -345,7 +346,7 @@ def _kg_id_tables(sf_dir: str, num_buckets: int):
         )
         return pa.table({"node": pa.array(vals, pa.string())})
 
-    nodes = bucketed_apply(
+    nodes = bucketed_apply_tasks(
         edges.map_batches(endpoints, batch_format="pyarrow"),
         ["node"],
         _dedup,
@@ -408,7 +409,7 @@ def _encode_pairs(
             )
             return pa.table({"node": pa.array(vals, pa.string())})
 
-        nodes = bucketed_apply(
+        nodes = bucketed_apply_tasks(
             pairs.map_batches(endpoints, batch_format="pyarrow"),
             ["node"],
             _dedup,
@@ -1031,6 +1032,113 @@ def components_over(
         batch_format="pandas",
         batch_size=None,
     ).sort("node")
+
+
+@ray.remote
+def _rt_has_rows(t) -> bool:
+    return t is not None and t.num_rows > 0
+
+
+@ray.remote
+def _rt_init_labels_from_adj(*pieces):
+    """Seed a bucket's label table from its pinned symmetric adjacency
+    piece: distinct src = exactly this bucket's node set (symmetry puts
+    every endpoint on the src side of its own bucket), label = own id.
+    Runs next to the pinned object — no extra exchange for init."""
+    tabs = [t for t in pieces if t is not None and t.num_rows]
+    if not tabs:
+        return _empty_label_tbl()
+    src = np.unique(
+        np.concatenate(
+            [t.column("src").to_numpy(zero_copy_only=False) for t in tabs]
+        ).astype("int64")
+    )
+    return pa.table(
+        {
+            "node": pa.array(src, pa.int64()),
+            "lbl": pa.array(src, pa.int64()),
+            "chg": pa.array(np.ones(len(src), bool)),
+        }
+    )
+
+
+def components_over_int(
+    pairs: ray.data.Dataset,
+    *,
+    max_iters: int = CC_MAX_ITERS,
+    num_buckets: int | None = None,
+    src: str = "src",
+    dst: str = "dst",
+    op_name: str = "components_int",
+) -> ray.data.Dataset:
+    """components_over for pairs whose endpoints are ALREADY int64:
+    skips the string-id encode/decode round trip entirely — numeric
+    MIN over the caller's own ids is the wanted semantics, so the
+    pinned adjacency, per-round 8-byte label exchanges, and the final
+    output all carry those ids directly. Symmetrizes internally; one
+    edge-sized exchange total; labels seeded per bucket from the pinned
+    adjacency (no init exchange). Returns (node, comp) sorted by node;
+    raises past ``max_iters`` like components_over (exact bound)."""
+    if max_iters < 1:
+        raise ValueError("components_over_int requires max_iters >= 1")
+    if num_buckets is None:
+        num_buckets = target_blocks()
+
+    def sym(b: pa.Table) -> pa.Table:
+        a = b[src].to_numpy(zero_copy_only=False).astype("int64")
+        c = b[dst].to_numpy(zero_copy_only=False).astype("int64")
+        df = pd.DataFrame(
+            {
+                "src": np.concatenate([a, c]),
+                "dst": np.concatenate([c, a]),
+            }
+        ).drop_duplicates()
+        df["__bucket"] = _ibucket(df["src"], num_buckets)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    adj_ds = prebucketed_apply(
+        pairs.map_batches(sym, batch_format="pyarrow"),
+        lambda df, _k: df.drop_duplicates(),
+        keep_bucket=True,
+    ).materialize()
+    adj = build_bucket_store(adj_ds, None, num_buckets)
+
+    label_refs = _rt_label_loop(
+        adj,
+        [
+            _rt_init_labels_from_adj.remote(*adj.pieces[k])
+            for k in range(num_buckets)
+        ],
+        num_buckets,
+        max_iters=max_iters,
+        op_name=op_name,
+        jump=True,
+        raise_msg=(
+            op_name + " did not converge within {max_iters} "
+            "min-label rounds; raise max_iters"
+        ),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": batch.column("node"),
+                "comp": batch.column("lbl"),
+            }
+        )
+
+    # drop empty buckets without fetching tables (sparse pair graphs
+    # leave many buckets empty; zero-row blocks also trip Ray's
+    # schema-mismatch warning on the final sort)
+    flags = ray.get([_rt_has_rows.remote(r) for r in label_refs])
+    kept = [r for r, ok in zip(label_refs, flags) if ok]
+    if not kept:
+        kept = label_refs[:1]
+    return (
+        ray.data.from_arrow_refs(kept)
+        .map_batches(finish, batch_format="pyarrow")
+        .sort("node")
+    )
 
 
 def components_oracle_sql(edges_cte: str) -> str:
@@ -1667,7 +1775,7 @@ def triangles_over(
             df.groupby("node", as_index=False).agg(n_tri=("n_tri", "sum"))
         )
 
-    winners = bucketed_apply(
+    winners = bucketed_apply_tasks(
         prebucketed_apply(tri_partial, merge_counts), [], topk_i
     )
 

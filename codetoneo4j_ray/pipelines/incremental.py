@@ -81,7 +81,7 @@ def _diff_vs_prior(
     carried_tombstones sorted [(repo, path, deleted_at_sec)])."""
     import pandas as pd
 
-    from codetoneo4j_ray.stages.bucketing import bucketed_apply
+    from codetoneo4j_ray.stages.bucketing import bucketed_apply, bucketed_apply_tasks
 
     def cur_meta(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -164,7 +164,7 @@ def _diff_vs_prior(
             }
         )
 
-    out = bucketed_apply(cur.union(prior), ["repo", "path"], diff).to_pandas()
+    out = bucketed_apply_tasks(cur.union(prior), ["repo", "path"], diff).to_pandas()
     if "status" not in out.columns:
         return set(), [], []
     changed = set(

@@ -162,14 +162,14 @@ def ensure_kg_edges(sf_dir: str) -> str:
     and cached as parquet (unsorted — consumers that need order sort
     themselves). Shared input of the graph-analytics ops, which would
     otherwise each re-run the linking maps per query."""
-    from codetoneo4j_ray.stages.bucketing import bucketed_apply, coalesce
+    from codetoneo4j_ray.stages.bucketing import bucketed_apply, coalesce, bucketed_apply_tasks
 
     paths = ensure_kg(sf_dir)
     fp = corpus_fingerprint(paths["corpus"], _KG_CONFIG)
     out = os.path.join(paths["out"], "edges_distinct")
     if stage_is_complete(paths["out"], "edges_distinct", fp):
         return out
-    distinct = bucketed_apply(
+    distinct = bucketed_apply_tasks(
         kg_edges_raw(sf_dir),
         ["subj", "pred", "obj"],
         lambda df: df.drop_duplicates(),
@@ -194,14 +194,14 @@ def q_kg_symbol_kinds(sf_dir: str) -> ray.data.Dataset:
     symbols = read_records(paths["records"], "symbol")
     import pandas as pd
 
-    from codetoneo4j_ray.stages.bucketing import bucketed_apply
+    from codetoneo4j_ray.stages.bucketing import bucketed_apply, bucketed_apply_tasks
 
     def count(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby(["language", "kind"], as_index=False).size()
         return g.rename(columns={"size": "n"})
 
     return (
-        bucketed_apply(dedup_nodes(symbols), ["language", "kind"], count)
+        bucketed_apply_tasks(dedup_nodes(symbols), ["language", "kind"], count)
         .sort(["language", "kind"])
     )
 
@@ -211,7 +211,7 @@ def q_kg_pred_counts(sf_dir: str) -> ray.data.Dataset:
     full linking+dedup chain feeding a distributed aggregate."""
     import pandas as pd
 
-    from codetoneo4j_ray.stages.bucketing import bucketed_apply
+    from codetoneo4j_ray.stages.bucketing import bucketed_apply, bucketed_apply_tasks
 
     edges = q_kg_edges(sf_dir)
 
@@ -227,7 +227,7 @@ def q_kg_pred_counts(sf_dir: str) -> ray.data.Dataset:
         ),
         batch_format="pyarrow",
     )
-    return bucketed_apply(partial, ["pred"], merge).sort("pred")
+    return bucketed_apply_tasks(partial, ["pred"], merge).sort("pred")
 
 
 def _commits_path(sf_dir: str) -> str:
@@ -506,7 +506,7 @@ def q_kg_degree_topk(sf_dir: str, k: int = DEGREE_TOPK_K) -> ray.data.Dataset:
     exact merge by subj, per-bucket local top-k, one global merge."""
     import pandas as pd
 
-    from codetoneo4j_ray.stages.bucketing import bucketed_apply
+    from codetoneo4j_ray.stages.bucketing import bucketed_apply, bucketed_apply_tasks
 
     edges = q_kg_edges(sf_dir)
 
@@ -526,6 +526,6 @@ def q_kg_degree_topk(sf_dir: str, k: int = DEGREE_TOPK_K) -> ray.data.Dataset:
         return topk(df.groupby("subj", as_index=False).agg(n=("n", "sum")))
 
     partials = edges.map_batches(partial, batch_format="pyarrow")
-    return bucketed_apply(
-        bucketed_apply(partials, ["subj"], merge), [], topk
+    return bucketed_apply_tasks(
+        bucketed_apply_tasks(partials, ["subj"], merge), [], topk
     ).sort("subj")

@@ -156,7 +156,10 @@ def _apply_bucket_pieces(fn, *pieces):
     tabs = [t for t in pieces if t is not None and t.num_rows]
     if not tabs:
         return None
-    df = pa.concat_tables(tabs).to_pandas()
+    # permissive: blocks of a unioned input legitimately disagree on
+    # all-null column types (null vs the real dtype) — promote like the
+    # sort-based exchange did instead of failing the concat
+    df = pa.concat_tables(tabs, promote_options="permissive").to_pandas()
     out = fn(df)
     if not len(out):
         # empty frames re-infer object columns as null-type through
@@ -331,7 +334,9 @@ def _concat_pieces(*tables):
     ts = [t for t in tables if t is not None]
     if not ts:
         return None
-    return pa.concat_tables(ts)
+    # see _apply_bucket_pieces: unioned inputs can carry null-typed
+    # all-null columns in some blocks
+    return pa.concat_tables(ts, promote_options="permissive")
 
 
 def build_bucket_store(

@@ -23,7 +23,7 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
-from codetoneo4j_ray.stages.bucketing import bucketed_apply, coalesce
+from codetoneo4j_ray.stages.bucketing import bucketed_apply, coalesce, bucketed_apply_tasks
 
 _SEP = "\x00"
 
@@ -108,6 +108,6 @@ def dedup_nodes(symbols: ray.data.Dataset) -> ray.data.Dataset:
     every parallelism level than the single exchange it avoided.
     """
     combined = symbols.map_batches(_local_dedup_nodes, batch_format="pyarrow")
-    return bucketed_apply(
+    return bucketed_apply_tasks(
         combined, ["key"], lambda df: _winner_last(df, "key", _TIEBREAK)
     )

@@ -171,7 +171,7 @@ def build_type_index(corpus: ray.data.Dataset) -> dict[str, RepoTypeIndex]:
     import pandas as pd
 
     from codetoneo4j_ray.extractors.csharp.types import TypeInfo
-    from codetoneo4j_ray.stages.bucketing import bucketed_apply
+    from codetoneo4j_ray.stages.bucketing import bucketed_apply, bucketed_apply_tasks
 
     idx_rows = corpus.map_batches(skim_batch, batch_format="pyarrow")
 
@@ -217,7 +217,7 @@ def build_type_index(corpus: ray.data.Dataset) -> dict[str, RepoTypeIndex]:
             blobs.append(pickle.dumps(idx))
         return pd.DataFrame({"repo": repos, "blob": blobs})
 
-    blobs = bucketed_apply(idx_rows, ["repo"], assemble).take_all()
+    blobs = bucketed_apply_tasks(idx_rows, ["repo"], assemble).take_all()
     return {r["repo"]: pickle.loads(r["blob"]) for r in blobs}
 
 
@@ -362,7 +362,7 @@ def extract_records_partitioned(
 
     from codetoneo4j_ray.extractors.csharp.extractor import parse_member_types
     from codetoneo4j_ray.extractors.csharp.types import TypeInfo
-    from codetoneo4j_ray.stages.bucketing import bucketed_apply
+    from codetoneo4j_ray.stages.bucketing import bucketed_apply, bucketed_apply_tasks
 
     pkg_ref = ray.put(pkg_meta) if pkg_meta is not None else None
     salt = max(1, salt)
@@ -481,7 +481,7 @@ def extract_records_partitioned(
             cols[fld.name] = col
         return pa.table(cols, schema=RECORD_SCHEMA)
 
-    return bucketed_apply(
+    return bucketed_apply_tasks(
         both, ["repo", "__salt"], extract_bucket, num_buckets
     ).map_batches(to_schema, batch_format="pyarrow")
 

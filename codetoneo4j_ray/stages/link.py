@@ -293,7 +293,7 @@ def resolve_mentions_partitioned(
     """
     import pandas as pd
 
-    from codetoneo4j_ray.stages.bucketing import bucketed_apply
+    from codetoneo4j_ray.stages.bucketing import bucketed_apply, bucketed_apply_tasks
 
     def resolve_bucket(df: pd.DataFrame) -> pd.DataFrame:
         indices: dict[str, MemberIndex] = {}
@@ -349,7 +349,7 @@ def resolve_mentions_partitioned(
 
     cols = ["subj", "pred", "obj", "repo", "ctx_kind", "ctx_name",
             "ctx_receiver", "ctx_argc"]
-    return bucketed_apply(
+    return bucketed_apply_tasks(
         raw_mentions.select_columns(cols), ["repo"], resolve_bucket, num_buckets
     )
 
@@ -410,7 +410,7 @@ def resolve_edges_partitioned(
     ``extra_edges`` (structural edges that skip endpoint filtering) can
     ride the same exchange, saving a separate distinct shuffle.
     """
-    from codetoneo4j_ray.stages.bucketing import bucketed_apply
+    from codetoneo4j_ray.stages.bucketing import bucketed_apply, bucketed_apply_tasks
 
     keys = symbols.select_columns(["key"])
 
@@ -457,7 +457,7 @@ def resolve_edges_partitioned(
                 return out[["subj", "pred", "obj"]]
             return out[["subj", "pred", "obj", "__side"]]
 
-        return bucketed_apply(both, [col], join_bucket, num_buckets)
+        return bucketed_apply_tasks(both, [col], join_bucket, num_buckets)
 
     first = semi(tagged(mentions, "m"), "subj", last=False)
     if extra_edges is not None:
@@ -601,7 +601,7 @@ def resolve_link_fused(
     Exact by construction: every salted bucket sees its repo's full
     index + key set, resolution is per-row, and duplicate triples share
     a subj (same salt) so the local distinct still combines them."""
-    from codetoneo4j_ray.stages.bucketing import bucketed_apply
+    from codetoneo4j_ray.stages.bucketing import bucketed_apply, bucketed_apply_tasks
 
     cols = ["subj", "pred", "obj", "repo", "ctx_kind", "ctx_name",
             "ctx_receiver", "ctx_argc"]
@@ -627,7 +627,7 @@ def resolve_link_fused(
         )
     )
     if salt <= 1:
-        return bucketed_apply(e1_in, ["repo"], _bucket_resolve_and_filter,
+        return bucketed_apply_tasks(e1_in, ["repo"], _bucket_resolve_and_filter,
                               num_buckets)
 
     def add_salt(batch: pa.Table) -> pa.Table:
