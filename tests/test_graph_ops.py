@@ -495,3 +495,48 @@ def test_bfs_depth_never_exceeds_max_iters():
     assert dict(zip(got["node"], got["depth"])) == {
         f"n{i:02d}": i for i in range(6)
     }
+
+
+def _int_pairs_ds(pairs):
+    import ray.data
+
+    return ray.data.from_items(
+        [{"src": int(a), "dst": int(b)} for a, b in pairs]
+    )
+
+
+def test_components_over_int_known_graph():
+    from codetoneo4j_ray.pipelines.graph_ops import components_over_int
+
+    # sparse, non-dense int64 ids (incl. one beyond 2**53 to catch any
+    # float round-trip) — numeric MIN semantics, not lexicographic:
+    # 9 < 10 even though "9" > "10"
+    big = 2**60 + 7
+    pairs = [(10, 9), (9, 1000), (big, big - 1), (42, 42)]
+    got = components_over_int(_int_pairs_ds(pairs)).to_pandas()
+    assert dict(zip(got["node"], got["comp"])) == {
+        9: 9, 10: 9, 1000: 9, big - 1: big - 1, big: big - 1, 42: 42,
+    }
+    assert list(got["node"]) == sorted(got["node"])
+    assert str(got["comp"].dtype) == "int64"
+
+
+def test_components_over_int_long_path_converges():
+    from codetoneo4j_ray.pipelines.graph_ops import components_over_int
+
+    chain = [(i * 3 + 5, (i + 1) * 3 + 5) for i in range(60)]
+    got = components_over_int(_int_pairs_ds(chain)).to_pandas()
+    assert len(got) == 61
+    assert set(got["comp"]) == {5}
+
+
+def test_components_over_int_raises_past_max_iters():
+    import pytest as _pytest
+
+    from codetoneo4j_ray.pipelines.graph_ops import components_over_int
+
+    chain = [(i, i + 1) for i in range(40)]
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        components_over_int(_int_pairs_ds(chain), max_iters=2)
+    with _pytest.raises(ValueError):
+        components_over_int(_int_pairs_ds(chain), max_iters=0)
