@@ -181,9 +181,13 @@ def bucketed_apply_tasks(
     (module-level). Wins when the exchange is one-shot and the
     group-by's sort/sample machinery would dominate — the linking
     exchange, not iterative consumers (those pin a BucketStore and run
-    their own loops). Empty buckets produce no block."""
+    their own loops). Empty buckets produce no block. The store is
+    built unconsolidated: the apply task concatenates its bucket's
+    pieces anyway, so the per-bucket concat layer would only add a
+    task wave plus one extra object-store copy of the whole input."""
     store = build_bucket_store(
-        add_bucket_column(ds, key_cols, num_buckets), None, num_buckets
+        add_bucket_column(ds, key_cols, num_buckets), None, num_buckets,
+        consolidate=False,
     )
     refs = [
         _apply_bucket_pieces.remote(bucket_fn, *store.pieces[k])
@@ -290,18 +294,30 @@ def hash_bucket_frame(
 
 
 @ray.remote
-def _split_block(block, num_buckets: int):
-    """One shuffle map task: split a pre-bucketed block into K pieces
+def _split_block(num_buckets: int, *blocks):
+    """One shuffle map task: split pre-bucketed block(s) into K pieces
     (None for empty buckets). Returned as num_returns=K objects so the
-    driver only ever holds refs, never data."""
-    if isinstance(block, pd.DataFrame):
-        table = pa.Table.from_pandas(block, preserve_index=False)
-    else:
-        table = block
-    if table.num_rows == 0 or "__bucket" not in table.column_names:
+    driver only ever holds refs, never data. Accepts several blocks per
+    task (grouped by the caller) so a fragmented input doesn't create
+    O(blocks × buckets) tiny objects — object creation/registration,
+    not the filter, dominates the wave once blocks outnumber CPUs."""
+    tables = []
+    for block in blocks:
+        if isinstance(block, pd.DataFrame):
+            block = pa.Table.from_pandas(block, preserve_index=False)
+        if block.num_rows and "__bucket" in block.column_names:
+            tables.append(block)
+    if not tables:
         # num_returns=1 makes the whole return value ONE object — a
         # 1-tuple would reach consumers ununwrapped
         return None if num_buckets == 1 else tuple([None] * num_buckets)
+    # permissive: blocks of a unioned input can disagree on all-null
+    # column types (null vs the real dtype)
+    table = (
+        tables[0]
+        if len(tables) == 1
+        else pa.concat_tables(tables, promote_options="permissive")
+    )
     ids = table["__bucket"].to_numpy(zero_copy_only=False)
     body = table.drop_columns(["__bucket"])
     if num_buckets == 1:
@@ -343,19 +359,29 @@ def build_bucket_store(
     ds: ray.data.Dataset,
     key_cols: list[str] | None,
     num_buckets: int = DEFAULT_BUCKETS,
+    consolidate: bool = True,
 ) -> BucketStore:
     """Pin ``ds`` into a BucketStore keyed by ``key_cols``. Pass
     key_cols=None when rows already carry __bucket (keep_bucket=True
     upstream) to skip the re-hash pass.
 
-    Each bucket is consolidated to ONE object (a second, per-bucket
-    concat task layer) whenever the input has multiple blocks: a store
-    handle then carries num_buckets refs instead of
-    num_blocks × num_buckets. The handle rides inside every map task
-    of every consumer stage, and each ObjectRef costs
-    serialization + ownership registration per task — for an iterative
-    consumer (PageRank, label propagation) the unconsolidated 64×64
-    ref matrix dominated per-iteration wall time."""
+    Input blocks are grouped to at most ~2× cluster CPUs split tasks
+    (contiguous chunks, so per-bucket row order is identical to an
+    ungrouped split): a fragmented input would otherwise create
+    O(blocks × buckets) tiny objects in the split wave.
+
+    With ``consolidate=True`` (default) each bucket is consolidated to
+    ONE object (a second, per-bucket concat task layer) whenever the
+    split produced multiple pieces: a store handle then carries
+    num_buckets refs instead of num_groups × num_buckets. The handle
+    rides inside every map task of every consumer stage, and each
+    ObjectRef costs serialization + ownership registration per task —
+    for an iterative consumer (PageRank, label propagation) the
+    unconsolidated 64×64 ref matrix dominated per-iteration wall time.
+    One-shot consumers (``bucketed_apply_tasks``) pass
+    ``consolidate=False``: their single apply wave concatenates the
+    pieces itself, so the concat layer would only re-copy the whole
+    dataset through the object store once more."""
     if key_cols is not None:
         ds = add_bucket_column(ds, key_cols, num_buckets)
     mat = ds.materialize()
@@ -364,13 +390,21 @@ def build_bucket_store(
         for bundle in mat.iter_internal_ref_bundles()
         for br in bundle.block_refs
     ]
+    ngroups = target_blocks()
+    if len(block_refs) > ngroups:
+        bounds = np.linspace(0, len(block_refs), ngroups + 1).astype(int)
+        groups = [
+            block_refs[a:b] for a, b in zip(bounds[:-1], bounds[1:]) if b > a
+        ]
+    else:
+        groups = [[r] for r in block_refs]
     split = _split_block.options(num_returns=num_buckets)
-    per_block = [split.remote(r, num_buckets) for r in block_refs]
+    per_group = [split.remote(num_buckets, *grp) for grp in groups]
     if num_buckets == 1:
         # num_returns=1 yields a bare ObjectRef, not a 1-list
-        per_block = [[r] for r in per_block]
-    pieces = [[pb[k] for pb in per_block] for k in range(num_buckets)]
-    if len(per_block) > 1:
+        per_group = [[r] for r in per_group]
+    pieces = [[pg[k] for pg in per_group] for k in range(num_buckets)]
+    if consolidate and len(per_group) > 1:
         pieces = [[_concat_pieces.remote(*p)] for p in pieces]
     return BucketStore(pieces, num_buckets)
 
