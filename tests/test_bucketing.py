@@ -282,3 +282,38 @@ def test_bucketed_apply_tasks_single_bucket(ray_session):
     )
     out = bucketed_apply_tasks(ds, [], _total, num_buckets=1).to_pandas()
     assert out["n"].tolist() == [6]
+
+
+def test_grouped_split_preserves_bucket_row_order(ray_session):
+    """A fragmented input (blocks >> split groups) must reach each
+    bucket fn as the CONTIGUOUS concatenation of its rows in global
+    block order — grouping the split wave (bucketing.build_bucket_store)
+    chunks contiguously precisely so per-bucket row order is identical
+    to an ungrouped per-block split, keeping order-sensitive bucket fns
+    (LWW tie-breaks) deterministic and unchanged."""
+    import ray.data
+
+    from codetoneo4j_ray.stages.bucketing import bucketed_apply_tasks
+
+    def _rows_in_order(df: pd.DataFrame) -> pd.DataFrame:
+        # identity fn that tags arrival order within the bucket
+        out = df.copy()
+        out["pos"] = range(len(out))
+        return out
+
+    # 120 single-row blocks > target_blocks() in the 4-CPU test session,
+    # so the grouped path is exercised; "seq" records global block order
+    frames = [
+        pd.DataFrame({"key": [f"k{i % 5}"], "seq": [i]}) for i in range(120)
+    ]
+    ds = ray.data.from_pandas(frames)
+    out = (
+        bucketed_apply_tasks(ds, ["key"], _rows_in_order, 4)
+        .to_pandas()
+        .sort_values(["key", "pos"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == 120
+    # within every key, arrival order == ascending global block order
+    for _, g in out.groupby("key"):
+        assert g["seq"].is_monotonic_increasing
