@@ -152,6 +152,10 @@ def _record_parts(records, records_dir):
         symbols = records.filter(expr="rec_type == 'symbol'")
         files = records.filter(expr="rec_type == 'file'")
         raw_mentions = records.filter(expr="rec_type == 'mention'")
+        # same mention-skip as the checkpoint path: structural edges
+        # never derive from mention rows (structural_edges_batch has no
+        # mention branch), so drop the bulk before the Python row scan
+        records = records.filter(expr="rec_type != 'mention'")
     return symbols, files, raw_mentions, records
 
 
@@ -366,6 +370,8 @@ def build_graph(
         pkg_meta = load_pkg_meta(packages_path)
 
     stage1_sec = 0.0
+    in_mem = None
+    ckpt_thread = None
     if not (resume and stage_is_complete(out_dir, "records", fp)):
         t0 = time.perf_counter()
         shutil.rmtree(records_dir, ignore_errors=True)
@@ -385,12 +391,33 @@ def build_graph(
             records = extract_to_records(corpus, min_accessibility,
                                          concurrency, pkg_meta=pkg_meta,
                                          no_key=no_key, batch_size=batch_size)
-        # hive-partition the checkpoint by rec_type (partition-pruned
-        # reads downstream); block count already bounded at the read
-        records.write_parquet(records_dir, partition_cols=["rec_type"])
+        # Pin the record stream in the object store (records are
+        # metadata-sized — symbols/mentions/file rows, never file
+        # content — so the pinned footprint is a small fraction of the
+        # corpus and spillable) and hand stages 2–4 the pinned blocks
+        # directly: the checkpoint parquet round-trip (write, then
+        # partition reads at the head of every output's serial chain)
+        # comes OFF the critical path. The checkpoint itself still gets
+        # written — resumability unchanged — but in a background thread
+        # that overlaps stage 2–4 compute; its manifest only lands
+        # after the write completes, so a crash mid-write re-runs
+        # stage 1 exactly as before.
+        _stub_fsspec_http()
+        in_mem = records.materialize()
         stage1_sec = round(time.perf_counter() - t0, 3)
-        write_manifest(out_dir, "records", fp,
-                       {"rows": _parquet_rows(records_dir), "wall_sec": stage1_sec})
+
+        def _write_ckpt() -> None:
+            # hive-partition the checkpoint by rec_type (partition-
+            # pruned reads on resume); block count bounded at the read
+            in_mem.write_parquet(records_dir, partition_cols=["rec_type"])
+            write_manifest(out_dir, "records", fp,
+                           {"rows": _parquet_rows(records_dir),
+                            "wall_sec": stage1_sec})
+
+        import threading
+
+        ckpt_thread = threading.Thread(target=_write_ckpt, daemon=True)
+        ckpt_thread.start()
 
     # Stages 2–4: one thread per output table, each building its own
     # plan — the nodes/files writes start streaming immediately while the
@@ -401,7 +428,7 @@ def build_graph(
 
     _stub_fsspec_http()
     symbols, files, raw_mentions, records_in = _record_parts(
-        None, records_dir
+        in_mem, records_dir if in_mem is None else None
     )
     metrics: dict = {}
 
@@ -421,6 +448,8 @@ def build_graph(
     with ThreadPoolExecutor(max_workers=3) as pool:
         for name, rows in pool.map(write_one, ("nodes", "edges", "files")):
             metrics[name] = rows
+    if ckpt_thread is not None:
+        ckpt_thread.join()
     metrics["stage1_sec"] = stage1_sec
     metrics["mode"] = mode
     write_manifest(out_dir, "graph", fp, metrics)
