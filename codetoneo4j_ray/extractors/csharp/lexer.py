@@ -6,11 +6,20 @@ trivia to declarations the way Roslyn does
 (``Graph/Mapping/SymbolMapper.cs:65-77``). Interpolated strings are
 lexed as single opaque 'str' tokens (brace/quote nesting tracked);
 preprocessor directives are dropped.
+
+The scanner is a compiled master-regex anchored-match loop (one C-level
+match per token) — the char-by-char loop it replaced was ~33% of
+stage-1 extraction CPU. String/char/template literals keep the custom
+nesting-aware scanners (interpolation holes can't be regular).
+Token-stream equivalence with the straightforward reference scanner is
+pinned by tests/test_lexer_equivalence.py over the synthetic corpus and
+the reference repo's real C#/TS/Dart trees.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+import re
+from typing import NamedTuple
 
 PUNCT_3 = ("<<=", ">>=", "??=", "...", ">>>")
 PUNCT_2 = (
@@ -20,8 +29,7 @@ PUNCT_2 = (
 # NOTE: '>>' deliberately lexed as two '>' so nested generics close cleanly.
 
 
-@dataclass(frozen=True)
-class Token:
+class Token(NamedTuple):
     kind: str   # 'id' | 'punct' | 'str' | 'char' | 'num' | 'comment' | 'doc'
     value: str
     line: int
@@ -35,110 +43,131 @@ def _is_id_part(c: str) -> bool:
     return c.isalnum() or c == "_"
 
 
+# Master token pattern. Alternation order mirrors the reference
+# scanner's branch order for every same-start ambiguity: comments
+# before '/'-punct, '...'-punct only when the num alternative's
+# (?=[0-9]) lookahead fails, PUNCT_3 before PUNCT_2 (first-match
+# alternation = longest-first for these fixed sets). Group positions
+# are the dispatch keys below; string/char/template starts ("'`$@) are
+# handled before the regex because their ends are not regular
+# (interpolation-hole nesting).
+_MASTER = re.compile(
+    "(?P<ws>[ \t\r\f\v\u00a0\ufeff\n]+)"
+    "|(?P<id>[A-Za-z_][A-Za-z0-9_]*)"
+    "|(?P<num>(?:[0-9]|\\.(?=[0-9]))(?:[0-9A-Za-z._]|(?<=[eE])[+-])*)"
+    "|(?P<lc>//[^\n]*)"
+    "|(?P<bc>/\\*(?:[^*]|\\*(?!/))*(?:\\*/)?)"
+    "|(?P<pp>#[^\n]*)"
+    "|(?P<p>" + "|".join(re.escape(p) for p in PUNCT_3 + PUNCT_2) + ")"
+    "|(?P<any>[\\s\\S])"
+)
+_G_WS, _G_ID, _G_NUM, _G_LC, _G_BC, _G_PP, _G_P, _G_ANY = range(1, 9)
+_AT_ID = re.compile("@[A-Za-z0-9_]*")
+_NL = re.compile("\n")
+# chars whose token end is context-dependent: custom scanners below
+_SPECIAL = '"\'`$@'
+
+
 def tokenize(src: str, depth: int = 0) -> list[Token]:
     toks: list[Token] = []
-    i, n, line = 0, len(src), 1
+    append = toks.append
+    master = _MASTER.match
+    nl_pos = [m.start() for m in _NL.finditer(src)]
+    nl_n = len(nl_pos)
+    li = 0  # index of first newline at-or-after i → line = li + 1 - skew
+    # bug-compat with the reference scanner: newlines swallowed inside a
+    # char token never advanced its line counter; skew preserves that
+    skew = 0
+    i, n = 0, len(src)
     while i < n:
+        line = li + 1 - skew
         c = src[i]
-        if c == "\n":
-            line += 1
-            i += 1
-            continue
-        if c in " \t\r\f\v ﻿":
-            i += 1
-            continue
-        if c == "/" and i + 1 < n:
-            nxt = src[i + 1]
-            if nxt == "/":
-                j = src.find("\n", i)
-                if j < 0:
-                    j = n
-                text = src[i:j]
-                kind = "doc" if text.startswith("///") and not text.startswith("////") else "comment"
-                toks.append(Token(kind, text.rstrip("\r"), line))
-                i = j
-                continue
-            if nxt == "*":
-                j = src.find("*/", i + 2)
-                j = n if j < 0 else j + 2
-                text = src[i:j]
-                kind = "doc" if text.startswith("/**") and text != "/**/" else "comment"
-                toks.append(Token(kind, text, line))
-                line += text.count("\n")
-                i = j
-                continue
-        if c == "#":
-            # preprocessor directive: drop to end of line
-            j = src.find("\n", i)
-            i = n if j < 0 else j
-            continue
-        if c == '"' or (
-            c in "$@" and _looks_like_string(src, i)
-        ):
-            text, nl = _scan_string(src, i)
-            toks.append(Token("str", text, line))
-            # interpolation holes: re-lex the hole expressions and splice
-            # them in, paren-wrapped, so call-site scanning sees them
-            # (Roslyn's DescendantNodes walks interpolations; depth-capped)
-            if "$" in text[:3] and depth < 4:
-                for hole in _holes(text):
-                    toks.append(Token("punct", "(", line))
-                    toks.extend(
-                        t2 for t2 in tokenize(hole, depth + 1)
-                        if t2.kind not in ("comment", "doc")
-                    )
-                    toks.append(Token("punct", ")", line))
-            line += nl
-            i += len(text)
-            continue
-        if c == "'":
-            j = i + 1
-            while j < n:
-                if src[j] == "\\":
-                    j += 2
-                    continue
-                if src[j] == "'":
+        if c in _SPECIAL:
+            if c == '"' or (c != "`" and _looks_like_string(src, i)):
+                text, _nl = _scan_string(src, i)
+                append(Token("str", text, line))
+                # interpolation holes: re-lex the hole expressions and
+                # splice them in, paren-wrapped, so call-site scanning
+                # sees them (Roslyn's DescendantNodes walks
+                # interpolations; depth-capped)
+                if "$" in text[:3] and depth < 4:
+                    for hole in _holes(text):
+                        append(Token("punct", "(", line))
+                        toks.extend(
+                            t2 for t2 in tokenize(hole, depth + 1)
+                            if t2.kind not in ("comment", "doc")
+                        )
+                        append(Token("punct", ")", line))
+                i += len(text)
+            elif c == "'":
+                j = i + 1
+                while j < n:
+                    if src[j] == "\\":
+                        j += 2
+                        continue
+                    if src[j] == "'":
+                        j += 1
+                        break
                     j += 1
-                    break
-                j += 1
-            toks.append(Token("char", src[i:j], line))
-            i = j
+                append(Token("char", src[i:j], line))
+                skew += src.count("\n", i, min(j, n))
+                i = j
+            elif c == "`":
+                # TS/JS template literal (shared lexer): ${} holes
+                text, _nl = _scan_template(src, i)
+                append(Token("str", text, line))
+                i += len(text)
+            elif c == "@":
+                j = _AT_ID.match(src, i).end()
+                while j < n and _is_id_part(src[j]):  # non-ASCII tail
+                    j += 1
+                append(Token("id", src[i:j], line))
+                i = j
+            else:  # lone '$' (not a string start)
+                append(Token("punct", c, line))
+                i += 1
+            while li < nl_n and nl_pos[li] < i:
+                li += 1
             continue
-        if c == "`":
-            # TS/JS template literal (shared lexer): scan with ${} holes
-            text, nl = _scan_template(src, i)
-            toks.append(Token("str", text, line))
-            line += nl
-            i += len(text)
-            continue
-        if c.isdigit() or (c == "." and i + 1 < n and src[i + 1].isdigit()):
-            j = i + 1
-            while j < n and (src[j].isalnum() or src[j] in "._+-"):
-                if src[j] in "+-" and src[j - 1] not in "eE":
-                    break
-                j += 1
-            toks.append(Token("num", src[i:j], line))
-            i = j
-            continue
-        if _is_id_start(c):
-            j = i + 1 if c != "@" else i + 1
-            while j < n and _is_id_part(src[j]):
-                j += 1
-            toks.append(Token("id", src[i:j], line))
-            i = j
-            continue
-        three = src[i : i + 3]
-        if three in PUNCT_3:
-            toks.append(Token("punct", three, line))
-            i += 3
-            continue
-        two = src[i : i + 2]
-        if two in PUNCT_2:
-            toks.append(Token("punct", two, line))
-            i += 2
-            continue
-        toks.append(Token("punct", c, line))
-        i += 1
+        m = master(src, i)
+        g = m.lastindex
+        j = m.end()
+        if g == _G_ID:
+            if j < n and ord(src[j]) > 127 and _is_id_part(src[j]):
+                while j < n and _is_id_part(src[j]):  # non-ASCII tail
+                    j += 1
+            append(Token("id", src[i:j], line))
+        elif g == _G_P:
+            append(Token("punct", m.group(), line))
+        elif g == _G_NUM:
+            if j < n and ord(src[j]) > 127 and src[j].isalnum():
+                while j < n and (src[j].isalnum() or src[j] in "._+-"):
+                    if src[j] in "+-" and src[j - 1] not in "eE":
+                        break
+                    j += 1
+            append(Token("num", src[i:j], line))
+        elif g == _G_LC:
+            text = m.group()
+            kind = ("doc" if text.startswith("///")
+                    and not text.startswith("////") else "comment")
+            append(Token(kind, text.rstrip("\r"), line))
+        elif g == _G_BC:
+            text = m.group()
+            kind = ("doc" if text.startswith("/**")
+                    and text != "/**/" else "comment")
+            append(Token(kind, text, line))
+        elif g == _G_ANY:
+            ch = m.group()
+            if ord(ch) > 127 and _is_id_start(ch):  # non-ASCII id start
+                while j < n and _is_id_part(src[j]):
+                    j += 1
+                append(Token("id", src[i:j], line))
+            else:
+                append(Token("punct", ch, line))
+        # ws / pp groups: skip
+        i = j
+        while li < nl_n and nl_pos[li] < i:
+            li += 1
     return toks
 
 
