@@ -162,6 +162,17 @@ def tokenize(src: str, depth: int = 0) -> list[Token]:
                 while j < n and _is_id_part(src[j]):
                     j += 1
                 append(Token("id", src[i:j], line))
+            elif ch.isdigit() or (
+                ch == "." and j < n and src[j].isdigit()
+            ):
+                # non-ASCII digit start (the regex num alternative is
+                # ASCII-only; ASCII digits never reach this group) —
+                # scanner parity: str.isdigit() chars start a num
+                while j < n and (src[j].isalnum() or src[j] in "._+-"):
+                    if src[j] in "+-" and src[j - 1] not in "eE":
+                        break
+                    j += 1
+                append(Token("num", src[i:j], line))
             else:
                 append(Token("punct", ch, line))
         # ws / pp groups: skip

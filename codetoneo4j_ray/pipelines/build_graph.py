@@ -347,7 +347,10 @@ def build_graph(
     batch_size: int = 64,
 ) -> dict:
     """Full run with a records checkpoint; returns metrics."""
-    mode = resolve_mode(mode, corpus_bytes=corpus_content_bytes(input_path))
+    # the footer scan only matters (and only runs) when mode is "auto":
+    # explicit modes pass straight through resolve_mode
+    mode = resolve_mode(mode, corpus_bytes=(
+        corpus_content_bytes(input_path) if mode == "auto" else None))
     pkg_stat = None
     if packages_path is not None:
         import os
@@ -406,13 +409,19 @@ def build_graph(
         in_mem = records.materialize()
         stage1_sec = round(time.perf_counter() - t0, 3)
 
+        ckpt_err: list[BaseException] = []
+
         def _write_ckpt() -> None:
             # hive-partition the checkpoint by rec_type (partition-
             # pruned reads on resume); block count bounded at the read
-            in_mem.write_parquet(records_dir, partition_cols=["rec_type"])
-            write_manifest(out_dir, "records", fp,
-                           {"rows": _parquet_rows(records_dir),
-                            "wall_sec": stage1_sec})
+            try:
+                in_mem.write_parquet(records_dir,
+                                     partition_cols=["rec_type"])
+                write_manifest(out_dir, "records", fp,
+                               {"rows": _parquet_rows(records_dir),
+                                "wall_sec": stage1_sec})
+            except BaseException as e:  # re-raised at the join below
+                ckpt_err.append(e)
 
         import threading
 
@@ -450,6 +459,12 @@ def build_graph(
             metrics[name] = rows
     if ckpt_thread is not None:
         ckpt_thread.join()
+        if ckpt_err:
+            # a swallowed checkpoint failure would report success while
+            # leaving a partial, manifest-less records dir behind
+            raise RuntimeError(
+                "records checkpoint write failed"
+            ) from ckpt_err[0]
     metrics["stage1_sec"] = stage1_sec
     metrics["mode"] = mode
     write_manifest(out_dir, "graph", fp, metrics)

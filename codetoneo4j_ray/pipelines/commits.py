@@ -30,7 +30,7 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
-from codetoneo4j_ray.stages.bucketing import bucketed_apply, bucketed_apply_tasks
+from codetoneo4j_ray.stages.bucketing import bucketed_apply_tasks
 
 COMMITTED = "src__COMMITTED"
 PART_OF_PROJECT = "src__PART_OF_PROJECT"

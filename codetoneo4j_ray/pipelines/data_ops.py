@@ -18,10 +18,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from codetoneo4j_ray.stages.bucketing import (
-    bucketed_apply,
-    bucketed_apply_tasks,
-)
+from codetoneo4j_ray.stages.bucketing import bucketed_apply_tasks
 from codetoneo4j_ray.stages.link import _cached_get
 
 

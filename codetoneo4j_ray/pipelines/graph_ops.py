@@ -463,7 +463,7 @@ def _rt_pr_step(lbl, num_buckets, adj_refs):
     """One bucket's contribution map: per-dst partial sums of
     r(u) // outdeg(u) over this bucket's pinned adjacency piece,
     map-side combined and routed by dst bucket."""
-    empty = tuple([None] * num_buckets)
+    empty = _route_empty(num_buckets)
     if lbl is None or lbl.num_rows == 0:
         return empty
     adj = _cached_bucket_df(adj_refs)
@@ -585,9 +585,9 @@ def pagerank_over(
         rank_refs = _label_store_refs(ranks, num_buckets)
         for _ in range(iters):
             partials = [
-                _rt_pr_step.options(num_returns=num_buckets).remote(
+                _kret(_rt_pr_step.options(num_returns=num_buckets).remote(
                     rank_refs[k], num_buckets, store.pieces[k]
-                )
+                ), num_buckets)
                 for k in range(num_buckets)
             ]
             rank_refs = [
@@ -749,16 +749,30 @@ def _empty_label_tbl() -> pa.Table:
 
 def _route_by_bucket(df: pd.DataFrame, col, num_buckets: int):
     """Split ``df`` into a K-tuple of per-bucket Arrow tables (None for
-    empty buckets) routed by _ibucket(df[col])."""
+    empty buckets) routed by _ibucket(df[col]). With K == 1 the bare
+    element is returned instead: these values are task returns under
+    ``num_returns=K``, and Ray only unpacks a tuple when K > 1."""
     if df.empty:
-        return tuple([None] * num_buckets)
+        return _route_empty(num_buckets)
     ids = _ibucket(df[col], num_buckets)
     out: list = [None] * num_buckets
     for k in np.unique(ids):
         out[int(k)] = pa.Table.from_pandas(
             df[ids == k], preserve_index=False
         )
-    return tuple(out)
+    return out[0] if num_buckets == 1 else tuple(out)
+
+
+def _route_empty(num_buckets: int):
+    """The all-empty value of _route_by_bucket for K buckets."""
+    return None if num_buckets == 1 else tuple([None] * num_buckets)
+
+
+def _kret(refs, num_buckets: int) -> list:
+    """Normalize ``options(num_returns=K).remote(...)``: Ray hands back
+    a bare ObjectRef when K == 1, a list otherwise — callers index
+    ``refs[k]`` either way."""
+    return [refs] if num_buckets == 1 else refs
 
 
 @ray.remote
@@ -767,7 +781,7 @@ def _rt_min_step(lbl, num_buckets, increment, cutoff, weight_col, adj_refs):
     (node, cand) for this bucket's frontier rows, routed by dst
     bucket. ``adj_refs`` arrives unresolved (inside a list) so the
     worker-process cache can key on ref identity."""
-    empty = tuple([None] * num_buckets)
+    empty = _route_empty(num_buckets)
     if lbl is None or lbl.num_rows == 0:
         return empty
     df = lbl.to_pandas()
@@ -835,7 +849,7 @@ def _rt_jump_seek(lbl, num_buckets):
     own label. Emits (node, val=lbl, chg, key=lbl) routed by
     _ibucket(lbl)."""
     if lbl is None or lbl.num_rows == 0:
-        return tuple([None] * num_buckets)
+        return _route_empty(num_buckets)
     df = lbl.to_pandas()
     seek = pd.DataFrame(
         {
@@ -855,7 +869,7 @@ def _rt_jump_answer(lbl, num_buckets, *seeks):
     are routed back by _ibucket(node)."""
     tabs = [t for t in seeks if t is not None]
     if not tabs:
-        return tuple([None] * num_buckets)
+        return _route_empty(num_buckets)
     s = pa.concat_tables(tabs).to_pandas()
     if lbl is None or lbl.num_rows == 0:
         prov = pd.Series(dtype="int64")
@@ -882,16 +896,16 @@ def _rt_concat_labels(*tabs):
 
 def _rt_pointer_jump(label_refs: list, num_buckets: int) -> list:
     seeks = [
-        _rt_jump_seek.options(num_returns=num_buckets).remote(
+        _kret(_rt_jump_seek.options(num_returns=num_buckets).remote(
             label_refs[k], num_buckets
-        )
+        ), num_buckets)
         for k in range(num_buckets)
     ]
     answers = [
-        _rt_jump_answer.options(num_returns=num_buckets).remote(
+        _kret(_rt_jump_answer.options(num_returns=num_buckets).remote(
             label_refs[k], num_buckets,
             *[seeks[j][k] for j in range(num_buckets)],
-        )
+        ), num_buckets)
         for k in range(num_buckets)
     ]
     return [
@@ -926,10 +940,10 @@ def _rt_label_loop(
     rounds = 0
     while True:
         partials = [
-            _rt_min_step.options(num_returns=num_buckets).remote(
+            _kret(_rt_min_step.options(num_returns=num_buckets).remote(
                 label_refs[k], num_buckets, increment, cutoff, weight_col,
                 adj.pieces[k],
-            )
+            ), num_buckets)
             for k in range(num_buckets)
         ]
         results = [

@@ -272,8 +272,10 @@ def build_graph_incremental(
     from codetoneo4j_ray.pipelines.build_graph import corpus_content_bytes
 
     # concrete mode into the run fingerprint (same byte-budget guardrail
-    # as build_graph — the stage-2 index is corpus-sized, not diff-sized)
-    mode = resolve_mode(mode, corpus_bytes=corpus_content_bytes(input_path))
+    # as build_graph — the stage-2 index is corpus-sized, not diff-sized;
+    # the footer scan only runs when the mode is actually "auto")
+    mode = resolve_mode(mode, corpus_bytes=(
+        corpus_content_bytes(input_path) if mode == "auto" else None))
     pkg_meta = None
     if packages_path is not None:
         from codetoneo4j_ray.stages.extract import load_pkg_meta

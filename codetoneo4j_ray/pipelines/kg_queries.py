@@ -41,7 +41,7 @@ from codetoneo4j_ray.stages.materialize import (
 )
 from codetoneo4j_ray.state.manifest import corpus_fingerprint, stage_is_complete, write_manifest
 
-_KG_CONFIG = {"min_accessibility": "Private", "kg_cache_v": 17}
+_KG_CONFIG = {"min_accessibility": "Private", "kg_cache_v": 18}
 
 
 def kg_paths(sf_dir: str) -> dict[str, str]:

@@ -23,7 +23,7 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
-from codetoneo4j_ray.stages.bucketing import bucketed_apply, coalesce, bucketed_apply_tasks
+from codetoneo4j_ray.stages.bucketing import coalesce, bucketed_apply_tasks
 
 _SEP = "\x00"
 

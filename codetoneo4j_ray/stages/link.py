@@ -293,7 +293,7 @@ def resolve_mentions_partitioned(
     """
     import pandas as pd
 
-    from codetoneo4j_ray.stages.bucketing import bucketed_apply, bucketed_apply_tasks
+    from codetoneo4j_ray.stages.bucketing import bucketed_apply_tasks
 
     def resolve_bucket(df: pd.DataFrame) -> pd.DataFrame:
         indices: dict[str, MemberIndex] = {}
@@ -410,7 +410,7 @@ def resolve_edges_partitioned(
     ``extra_edges`` (structural edges that skip endpoint filtering) can
     ride the same exchange, saving a separate distinct shuffle.
     """
-    from codetoneo4j_ray.stages.bucketing import bucketed_apply, bucketed_apply_tasks
+    from codetoneo4j_ray.stages.bucketing import bucketed_apply_tasks
 
     keys = symbols.select_columns(["key"])
 
@@ -601,7 +601,7 @@ def resolve_link_fused(
     Exact by construction: every salted bucket sees its repo's full
     index + key set, resolution is per-row, and duplicate triples share
     a subj (same salt) so the local distinct still combines them."""
-    from codetoneo4j_ray.stages.bucketing import bucketed_apply, bucketed_apply_tasks
+    from codetoneo4j_ray.stages.bucketing import bucketed_apply_tasks
 
     cols = ["subj", "pred", "obj", "repo", "ctx_kind", "ctx_name",
             "ctx_receiver", "ctx_argc"]
@@ -659,8 +659,6 @@ def resolve_link_fused(
             pd.concat(parts, ignore_index=True), schema=schema,
             preserve_index=False,
         )
-
-    from codetoneo4j_ray.stages.bucketing import bucketed_apply_tasks
 
     salted = e1_in.map_batches(add_salt, batch_format="pyarrow")
     # raw split-tasks + one resolve task per bucket: the one-shot

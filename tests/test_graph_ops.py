@@ -540,3 +540,48 @@ def test_components_over_int_raises_past_max_iters():
         components_over_int(_int_pairs_ds(chain), max_iters=2)
     with _pytest.raises(ValueError):
         components_over_int(_int_pairs_ds(chain), max_iters=0)
+
+
+def test_iterative_ops_single_bucket():
+    """num_buckets=1 is a legal configuration of every raw-task loop:
+    Ray returns a bare ObjectRef under num_returns=1 (no tuple unpack),
+    which the step/jump tasks and the driver loop must both normalize
+    (_kret / _route_by_bucket's K==1 unwrap)."""
+    import ray.data
+
+    from codetoneo4j_ray.pipelines.graph_ops import (
+        bfs_depth_over,
+        components_over,
+        components_over_int,
+        pagerank_over,
+        sssp_over,
+    )
+
+    got = components_over_int(
+        _int_pairs_ds([(10, 9), (9, 1000), (42, 42)]), num_buckets=1
+    ).to_pandas()
+    assert dict(zip(got["node"], got["comp"])) == {
+        9: 9, 10: 9, 1000: 9, 42: 42,
+    }
+
+    edges = ray.data.from_items(
+        [
+            {"subj": "repo:r", "obj": "f1", "pred": "src__HAS_FILE"},
+            {"subj": "f1", "obj": "s1", "pred": "src__DECLARES"},
+            {"subj": "s1", "obj": "s2", "pred": "sym__INVOKES"},
+        ]
+    )
+    pairs = edges.select_columns(["subj", "obj"])
+    for nb in (1, 2):
+        cc = components_over(pairs, num_buckets=nb).to_pandas()
+        assert set(cc["comp"]) == {"f1"}
+        assert len(cc) == 4
+        bfs = bfs_depth_over(edges, num_buckets=nb).to_pandas()
+        assert dict(zip(bfs["node"], bfs["depth"])) == {
+            "repo:r": 0, "f1": 1, "s1": 2, "s2": 3,
+        }
+        dist = sssp_over(edges, num_buckets=nb).to_pandas()
+        assert len(dist) == 4
+        pr = pagerank_over(pairs, num_buckets=nb).to_pandas()
+        assert len(pr) == 4
+        assert (pr["rank_fp"] > 0).all()

@@ -163,6 +163,7 @@ EDGE_CASES = [
     "é _x x1 1x _ @",
     "café naïve x²",
     "a.b(c, d).e<F>(g);",
+    "int a = ٣; b = ¹²; var y = .٣ + 1٣e+5; a..٣; a.٣",
     '"unterminated string',
     "@\"unterminated verbatim",
     "$\"unterminated {interp",
