@@ -221,3 +221,31 @@ def test_reference_tree_equivalence():
             assert tokenize(src) == tokenize_oracle(src), p
             n += 1
     assert n > 100, f"only {n} reference files lexed"
+
+
+# hypothesis fuzz: random text (including non-ASCII digits/letters and
+# C#-ish fragment soups) must lex identically in both scanners
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_FRAGMENTS = [
+    "class C {", "}", "int x = 1;", "x?.y::z", "a >>= b;", "// cmt",
+    "/* blk */", "/// doc", '"str"', "$\"i{x}j\"", "@\"v\"", "'c'",
+    "`t${x}`", "#if X", "3.14f", "0x1F", "1e-9", "a..b", "٣", "¹²",
+    "é", "x²", "@class", "_", ".5", "a.5", "...",
+]
+
+
+@settings(max_examples=250, deadline=None)
+@given(
+    src=st.one_of(
+        st.text(max_size=300),
+        st.text(
+            alphabet=st.sampled_from(list("ab_1.+-eE\"'`$@#/{}()٣²é \n")),
+            max_size=120,
+        ),
+        st.lists(st.sampled_from(_FRAGMENTS), max_size=30).map(" ".join),
+    )
+)
+def test_fuzz_equivalence(src):
+    assert tokenize(src) == tokenize_oracle(src)
