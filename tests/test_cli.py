@@ -213,3 +213,26 @@ def test_build_graph_honors_byte_budget(monkeypatch, tmp_path):
         b = rd.read_parquet(f"{out_p}/{table}").to_pandas()
         pd_testing_cols = sorted(a.columns)
         assert a[pd_testing_cols].equals(b[pd_testing_cols])
+
+
+def test_checkpoint_write_failure_surfaces(ray_session, tmp_path,
+                                           monkeypatch):
+    """A failure inside the background records-checkpoint thread must
+    fail the build (re-raised at the join), not report success over a
+    partial, manifest-less checkpoint dir."""
+    import pytest
+
+    import codetoneo4j_ray.pipelines.build_graph as bg
+
+    real_write = bg.write_manifest
+
+    def boom(out_dir, stage, fp, meta=None):
+        if stage == "records":
+            raise OSError("disk full (simulated)")
+        return real_write(out_dir, stage, fp, meta)
+
+    monkeypatch.setattr(bg, "write_manifest", boom)
+    p = _corpus(tmp_path)
+    out = str(tmp_path / "out_ckpt_fail")
+    with pytest.raises(RuntimeError, match="checkpoint write failed"):
+        bg.build_graph(p, out, no_key=True)
