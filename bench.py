@@ -172,6 +172,17 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     timed("tfidf_topk", data_ops.tfidf_topk)
     timed("price_quantiles", data_ops.price_quantiles)
     timed("orders_running_total", data_ops.orders_running_total)
+    # the five graph ops share a once-per-corpus distinct-edge parquet
+    # built lazily by whichever runs first; time that build as its own
+    # entry so the per-op numbers don't depend on cache temperature
+    # (cold /tmp after a host reboot was silently adding ~16 s to
+    # whichever op ran first). Still inside the suite total.
+    if not only_kg:
+        from codetoneo4j_ray.pipelines.kg_queries import ensure_kg_edges
+
+        t0 = time.perf_counter()
+        ensure_kg_edges(sf_dir)
+        timings["kg_edge_cache"] = round(time.perf_counter() - t0, 3)
     timed("kg_pagerank", kg_pagerank)
     timed("kg_triangles", kg_triangles)
     timed("kg_components", kg_components)
