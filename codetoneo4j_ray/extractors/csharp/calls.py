@@ -46,6 +46,7 @@ def scan_body(
     member_types: dict[str, TypeRef],
     method_names: frozenset[str] = frozenset(),
     return_type: TypeRef | None = None,
+    sub: "_Parser | None" = None,
 ) -> list[CallSite]:
     """Scan one body token range for call sites.
 
@@ -58,7 +59,12 @@ def scan_body(
     start, end = span
     locals_map: dict[str, TypeRef] = dict(param_types)
     sites: list[CallSite] = []
-    sub = _Parser(code, [[] for _ in code])
+    # leading_trivia falls back to [] past the lead list's end, so the
+    # trivia-free sub-parser passes an empty lead list; callers scanning
+    # many members of one file pass a shared ``sub`` so the parser's
+    # per-file value table is built once, not once per member
+    if sub is None:
+        sub = _Parser(code, {})
     i = start
     if i < end and code[i].value == "{":
         i += 1

@@ -19,6 +19,7 @@ from codetoneo4j_ray.extractors.csharp.parser import (
     CsFileParse,
     CsMember,
     CsTypeDecl,
+    _Parser,
     parse_csharp,
 )
 from codetoneo4j_ray.extractors.csharp.types import (
@@ -149,6 +150,8 @@ class _Emitter:
         self.min_lv = acc.level(min_acc)
         self.index = index
         self.parsed = parsed
+        # one body sub-parser per file, shared across member scans
+        self._body_sub = _Parser(parsed.code, {})
         self.resolver = Resolver(index)
         own_usings = [u.text for u in parsed.usings if not u.is_static and u.alias is None]
         global_other = [
@@ -463,7 +466,7 @@ class _Emitter:
         )
         ret = m.type if m.kind == "method" else None
         sites = scan_body(self.parsed.code, m.body, params, member_types,
-                          method_names, ret)
+                          method_names, ret, sub=self._body_sub)
         seen: set[tuple] = set()  # per-method seenCallees dedup
         for s in sites:
             rec = self._site_receiver_display(s, type_display, scope)
@@ -662,7 +665,7 @@ def _parse_type_text(text: str):
     from codetoneo4j_ray.extractors.csharp.parser import _Parser, parse_type_ref
 
     toks = [t for t in tokenize(text) if t.kind not in ("comment", "doc")]
-    p = _Parser(toks, [[] for _ in toks])
+    p = _Parser(toks, {})
     tref = parse_type_ref(p)
     _TYPE_TEXT_CACHE[text] = tref
     return tref

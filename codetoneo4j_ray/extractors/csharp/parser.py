@@ -97,23 +97,38 @@ class CsFileParse:
 def parse_csharp(src: str) -> CsFileParse:
     toks = tokenize(src)
     code: list[Token] = []
-    lead: list[list[Token]] = []
-    pending: list[Token] = []
+    # sparse trivia map {code index: [comment tokens before it]} — most
+    # code tokens have no leading trivia, so a dict beats a parallel
+    # list of (mostly empty) per-token lists
+    lead: dict[int, list[Token]] = {}
+    pending: list[Token] | None = None
+    append = code.append
     for t in toks:
-        if t.kind in ("comment", "doc"):
-            pending.append(t)
+        k = t.kind
+        if k == "comment" or k == "doc":
+            if pending is None:
+                pending = [t]
+            else:
+                pending.append(t)
         else:
-            code.append(t)
-            lead.append(pending)
-            pending = []
+            if pending is not None:
+                lead[len(code)] = pending
+                pending = None
+            append(t)
     p = _Parser(code, lead)
     p.parse_unit()
     return CsFileParse(p.usings, p.types, code)
 
 
 class _Parser:
-    def __init__(self, code: list[Token], lead: list[list[Token]]):
+    def __init__(self, code: list[Token], lead: dict[int, list[Token]]):
         self.code = code
+        # hot-path parallel value list: tok()/val() together are called
+        # ~24M times per 13k-file corpus, so each is one list index
+        # against a cached length instead of a method chain over
+        # NamedTuple attributes (~25% of parse CPU before)
+        self.vals = [t.value for t in code]
+        self.n = len(code)
         self.lead = lead
         self.i = 0
         self.usings: list[CsUsing] = []
@@ -122,41 +137,47 @@ class _Parser:
     # ---- primitives ---------------------------------------------------
     def tok(self, k: int = 0) -> Token | None:
         j = self.i + k
-        return self.code[j] if j < len(self.code) else None
+        return self.code[j] if j < self.n else None
 
     def val(self, k: int = 0) -> str:
-        t = self.tok(k)
-        return t.value if t else ""
+        j = self.i + k
+        return self.vals[j] if j < self.n else ""
 
     def at_end(self) -> bool:
-        return self.i >= len(self.code)
+        return self.i >= self.n
 
     def advance(self) -> Token | None:
-        t = self.tok()
-        self.i += 1
-        return t
+        i = self.i
+        self.i = i + 1
+        return self.code[i] if i < self.n else None
 
     def accept(self, value: str) -> bool:
-        if self.val() == value:
-            self.i += 1
+        i = self.i
+        if i < self.n and self.vals[i] == value:
+            self.i = i + 1
             return True
         return False
 
     def skip_balanced(self, open_c: str, close_c: str) -> tuple[int, int]:
         """At an opener: skip to matching closer; returns [start, end) span."""
         start = self.i
+        vals = self.vals
+        n = self.n
+        i = start
         depth = 0
-        while not self.at_end():
-            v = self.val()
+        while i < n:
+            v = vals[i]
             if v == open_c:
                 depth += 1
             elif v == close_c:
                 depth -= 1
                 if depth == 0:
-                    self.i += 1
-                    return (start, self.i)
-            self.i += 1
-        return (start, self.i)
+                    i += 1
+                    self.i = i
+                    return (start, i)
+            i += 1
+        self.i = i
+        return (start, i)
 
     def skip_to(self, *values: str) -> None:
         depth = 0
@@ -174,7 +195,7 @@ class _Parser:
         """(doc, comments) from the trivia before the current token —
         SymbolMapper.ExtractComments semantics: '//'/'/*' trivia trimmed and
         '\\n'-joined; '///'-doc lines aggregated separately."""
-        trivia = self.lead[self.i] if self.i < len(self.lead) else []
+        trivia = self.lead.get(self.i, ())
         comments = [
             t.value.strip() for t in trivia if t.kind == "comment"
         ]
@@ -610,8 +631,10 @@ class _Parser:
         tokens allowed inside; bounded lookahead)."""
         depth = 0
         j = i
-        while j < len(self.code) and j - i <= limit:
-            t = self.code[j]
+        code = self.code
+        n = self.n
+        while j < n and j - i <= limit:
+            t = code[j]
             v = t.value
             if v == "<":
                 depth += 1
@@ -627,17 +650,19 @@ class _Parser:
     def val_is_generic_then(self, follow: tuple[str, ...]) -> bool:
         """Lookahead: '<'...'>' followed by one of `follow` (cheap scan)."""
         j = self.i
-        if self.code[j].value != "<":
+        vals = self.vals
+        n = self.n
+        if vals[j] != "<":
             return False
         depth = 0
-        while j < len(self.code):
-            v = self.code[j].value
+        while j < n:
+            v = vals[j]
             if v == "<":
                 depth += 1
             elif v == ">":
                 depth -= 1
                 if depth == 0:
-                    nxt = self.code[j + 1].value if j + 1 < len(self.code) else ""
+                    nxt = vals[j + 1] if j + 1 < n else ""
                     return nxt in follow
             elif v in (";", "{", ")"):
                 return False

@@ -202,6 +202,16 @@ def main() -> int:
         timings[name] = round(time.perf_counter() - t0, 1)
         out[f"{name}_rows"] = n
 
+    # the graph ops share a once-per-corpus KG cache (ensure_kg records
+    # + distinct-edge parquet) built lazily by whichever runs first;
+    # time it separately so a cold /tmp doesn't inflate the first op
+    # (same decomposition as bench.py's kg_edge_cache entry)
+    from codetoneo4j_ray.pipelines.kg_queries import ensure_kg_edges
+
+    t0 = time.perf_counter()
+    ensure_kg_edges(REHEARSAL_SF)
+    timings["kg_cache"] = round(time.perf_counter() - t0, 1)
+
     for name, fn in (("kg_pagerank", kg_pagerank),
                      ("kg_components", kg_components)):
         t0 = time.perf_counter()
