@@ -132,6 +132,11 @@ def tokenize(src: str, depth: int = 0) -> list[Token]:
         m = master(src, i)
         g = m.lastindex
         j = m.end()
+        if g == _G_WS:  # ~half of all matches: skip before the dispatch chain
+            i = j
+            while li < nl_n and nl_pos[li] < i:
+                li += 1
+            continue
         if g == _G_ID:
             if j < n and ord(src[j]) > 127 and _is_id_part(src[j]):
                 while j < n and _is_id_part(src[j]):  # non-ASCII tail
