@@ -42,7 +42,7 @@ from codetoneo4j_ray.pipelines.build_graph import (
     _parquet_rows,
     _stub_fsspec_http,
     graph_from_records,
-    read_corpus,
+    read_corpus_pinned,
     read_records,
     resolve_mode,
 )
@@ -281,7 +281,7 @@ def build_graph_incremental(
         from codetoneo4j_ray.stages.extract import load_pkg_meta
 
         pkg_meta = load_pkg_meta(packages_path)
-    corpus = read_corpus(input_path)
+    corpus = read_corpus_pinned(input_path)
     changed, deleted, carried_tombs = _diff_vs_prior(
         corpus, f"{prior_out_dir}/files"
     )

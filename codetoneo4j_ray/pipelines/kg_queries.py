@@ -24,7 +24,11 @@ import ray.data
 
 from codetoneo4j_ray.extractors.csharp.extractor import BASE_PRED, MEMBER_PRED
 from codetoneo4j_ray.functions.tags import parse_namespace_tags
-from codetoneo4j_ray.pipelines.build_graph import extract_to_records, read_corpus, read_records
+from codetoneo4j_ray.pipelines.build_graph import (
+    extract_to_records,
+    read_corpus_pinned,
+    read_records,
+)
 from codetoneo4j_ray.sources.synth import corpus_dir_for_sf, ensure_corpus
 from codetoneo4j_ray.stages.bucketing import coalesce
 from codetoneo4j_ray.stages.canonicalize import dedup_nodes
@@ -65,7 +69,7 @@ def ensure_kg(sf_dir: str) -> dict[str, str]:
     from codetoneo4j_ray.sources.synth import ensure_packages
     from codetoneo4j_ray.stages.extract import load_pkg_meta
 
-    corpus = read_corpus(corpus_path)
+    corpus = read_corpus_pinned(corpus_path)
     records = extract_to_records(
         corpus, pkg_meta=load_pkg_meta(ensure_packages(sf_dir))
     )

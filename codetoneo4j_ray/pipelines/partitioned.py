@@ -23,7 +23,7 @@ import pyarrow as pa
 import ray.data
 
 from codetoneo4j_ray.extractors.accessibility import DEFAULT_MIN_ACCESSIBILITY
-from codetoneo4j_ray.pipelines.build_graph import read_corpus
+from codetoneo4j_ray.pipelines.build_graph import read_corpus_pinned
 from codetoneo4j_ray.stages.extract import build_type_index, extract_records
 from codetoneo4j_ray.state.manifest import (
     corpus_fingerprint,
@@ -76,7 +76,7 @@ def extract_partitioned(
             results[part] = {**manifest["metrics"], "skipped": True}
             continue
         t0 = time.perf_counter()
-        corpus = read_corpus(input_path)
+        corpus = read_corpus_pinned(input_path)
 
         def in_partition(batch: pa.Table, idx=i) -> pa.Table:
             repos = batch["repo"].to_pylist()

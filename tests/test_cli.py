@@ -236,3 +236,30 @@ def test_checkpoint_write_failure_surfaces(ray_session, tmp_path,
     out = str(tmp_path / "out_ckpt_fail")
     with pytest.raises(RuntimeError, match="checkpoint write failed"):
         bg.build_graph(p, out, no_key=True)
+
+
+def test_corpus_pin_budget(monkeypatch, tmp_path):
+    """read_corpus_pinned materializes a small corpus (plasma-pinned
+    MaterializedDataset) but streams when the content estimate exceeds
+    GRAFT_CORPUS_PIN_BUDGET_BYTES — the 100 TB shape must never try to
+    materialize the input."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from ray.data.dataset import MaterializedDataset
+
+    from codetoneo4j_ray.pipelines.build_graph import read_corpus_pinned
+
+    p = str(tmp_path / "corpus.parquet")
+    pq.write_table(
+        pa.table({"repo": ["r"], "path": ["a.cs"], "commit": ["c"],
+                  "lang": ["cs"], "content": ["class A {}" * 50]}),
+        p,
+    )
+    pinned = read_corpus_pinned(p)
+    assert isinstance(pinned, MaterializedDataset)
+    assert pinned.count() == 1
+
+    monkeypatch.setenv("GRAFT_CORPUS_PIN_BUDGET_BYTES", "1")
+    streamed = read_corpus_pinned(p)
+    assert not isinstance(streamed, MaterializedDataset)
+    assert streamed.count() == 1
